@@ -1,0 +1,173 @@
+"""upfirdn2d: upsample -> FIR filter -> downsample, the StyleGAN2 resampling primitive.
+
+Reference semantics: `/root/reference/op/upfirdn2d.py:159-200` (`upfirdn2d_native`,
+the executable spec of the CUDA kernel at `op/upfirdn2d_kernel.cu:107-207`):
+
+    1. zero-insertion upsample by (up_y, up_x)
+    2. pad spatially by (pad_y0, pad_y1, pad_x0, pad_x1)  (negative pad = crop)
+    3. 2-D convolution with `kernel` (i.e. correlation with the flipped kernel)
+    4. stride-downsample by (down_y, down_x)
+
+    out_h = (in_h * up_y + pad_y0 + pad_y1 - kernel_h) // down_y + 1
+
+TPU-native design: the whole chain is ONE `lax.conv_general_dilated` call --
+`lhs_dilation` performs the zero-insertion upsample, conv `padding` accepts
+negative values (so the crop case needs no slicing), and `window_strides`
+performs the downsample.  XLA lowers this to the MXU/VPU and, critically, its
+gradient is again a dilated conv, so arbitrary-order autodiff works without
+the reference's hand-written UpFirDn2dBackward (`op/upfirdn2d.py:19-85`).
+
+Filters are tiny (3x3..12x12 separable), the op is HBM-bandwidth bound; XLA's
+fused conv is already near speed-of-light for this shape class.  A Pallas
+variant exists for fusion experiments (see `ops/resample_pallas.py`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def make_kernel(k) -> jnp.ndarray:
+    """Normalized 2-D FIR kernel from a 1-D or 2-D spec.
+
+    Mirror of `gan_training/models/model_probe_tune.py:29-37`: 1-D kernels are
+    outer-producted with themselves, then normalized to sum to 1.
+    """
+    k = jnp.asarray(k, dtype=jnp.float32)
+    if k.ndim == 1:
+        k = jnp.outer(k, k)
+    k = k / jnp.sum(k)
+    return k
+
+
+def upfirdn2d_general(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    up_x: int = 1,
+    up_y: int = 1,
+    down_x: int = 1,
+    down_y: int = 1,
+    pad_x0: int = 0,
+    pad_x1: int = 0,
+    pad_y0: int = 0,
+    pad_y1: int = 0,
+) -> jnp.ndarray:
+    """General per-axis upfirdn2d on NCHW input. All factors/pads are static ints."""
+    n, c, in_h, in_w = x.shape
+    kh, kw = kernel.shape
+
+    out_h = (in_h * up_y + pad_y0 + pad_y1 - kh) // down_y + 1
+    out_w = (in_w * up_x + pad_x0 + pad_x1 - kw) // down_x + 1
+    if out_h <= 0 or out_w <= 0:
+        raise ValueError(
+            f"upfirdn2d output would be empty: in=({in_h},{in_w}) up=({up_y},{up_x}) "
+            f"down=({down_y},{down_x}) pad=({pad_y0},{pad_y1},{pad_x0},{pad_x1}) k=({kh},{kw})"
+        )
+
+    # Depthwise: collapse (N, C) into the batch dim, single 1-channel filter.
+    xr = x.reshape(n * c, 1, in_h, in_w)
+    # lax conv computes correlation; flipping the kernel yields true convolution,
+    # matching the reference (conv2d with flipped kernel, upfirdn2d.py:186-187).
+    w = jnp.flip(kernel, (0, 1)).astype(x.dtype)[None, None]
+
+    # lhs_dilation produces (n-1)*up+1 samples; upfirdn's zero-insertion
+    # produces n*up (with up-1 trailing zeros), so fold those trailing zeros
+    # into the high padding.
+    y = lax.conv_general_dilated(
+        xr,
+        w,
+        window_strides=(down_y, down_x),
+        padding=((pad_y0, pad_y1 + up_y - 1), (pad_x0, pad_x1 + up_x - 1)),
+        lhs_dilation=(up_y, up_x),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return y.reshape(n, c, out_h, out_w)
+
+
+def upfirdn2d(x, kernel, up: int = 1, down: int = 1, pad=(0, 0)) -> jnp.ndarray:
+    """Public API, mirroring the reference dispatch (`op/upfirdn2d.py:145-156`)."""
+    return upfirdn2d_general(
+        x, kernel, up, up, down, down, pad[0], pad[1], pad[0], pad[1]
+    )
+
+
+def upsample2d(x, kernel, factor: int = 2) -> jnp.ndarray:
+    """Antialiased 2x (or `factor`x) upsample, mirror of `Upsample`
+    (`model_probe_tune.py:40-58`): kernel gain factor**2, pad so out = in*factor."""
+    kernel = make_kernel(kernel) * (factor**2)
+    p = kernel.shape[0] - factor
+    pad0 = (p + 1) // 2 + factor - 1
+    pad1 = p // 2
+    return upfirdn2d(x, kernel, up=factor, down=1, pad=(pad0, pad1))
+
+
+def downsample2d(x, kernel, factor: int = 2) -> jnp.ndarray:
+    """Antialiased downsample, mirror of `Downsample` (`model_probe_tune.py:61-79`)."""
+    kernel = make_kernel(kernel)
+    p = kernel.shape[0] - factor
+    pad0 = (p + 1) // 2
+    pad1 = p // 2
+    return upfirdn2d(x, kernel, up=1, down=factor, pad=(pad0, pad1))
+
+
+def blur(x, kernel, pad, upsample_factor: int = 1) -> jnp.ndarray:
+    """FIR blur, mirror of `Blur` (`model_probe_tune.py:82-98`).
+
+    `kernel` is the raw 1-D/2-D spec; gain is upsample_factor**2 when the blur
+    follows a transposed conv."""
+    kernel = make_kernel(kernel)
+    if upsample_factor > 1:
+        kernel = kernel * (upsample_factor**2)
+    return upfirdn2d(x, kernel, pad=pad)
+
+
+def upfirdn2d_numpy_oracle(
+    x: np.ndarray,
+    kernel: np.ndarray,
+    up_x=1,
+    up_y=1,
+    down_x=1,
+    down_y=1,
+    pad_x0=0,
+    pad_x1=0,
+    pad_y0=0,
+    pad_y1=0,
+) -> np.ndarray:
+    """Slow, direct numpy implementation used as the test oracle.
+
+    Written from the upfirdn definition (zero-insert, pad, convolve, stride),
+    independent of both the reference code and the lax formulation.
+    """
+    from scipy.signal import convolve2d
+
+    n, c, in_h, in_w = x.shape
+    kh, kw = kernel.shape
+    out_h = (in_h * up_y + pad_y0 + pad_y1 - kh) // down_y + 1
+    out_w = (in_w * up_x + pad_x0 + pad_x1 - kw) // down_x + 1
+    out = np.zeros((n, c, out_h, out_w), dtype=np.float64)
+    for b in range(n):
+        for ch in range(c):
+            upimg = np.zeros((in_h * up_y, in_w * up_x), dtype=np.float64)
+            upimg[::up_y, ::up_x] = x[b, ch]
+            padded = np.zeros(
+                (in_h * up_y + pad_y0 + pad_y1, in_w * up_x + pad_x0 + pad_x1),
+                dtype=np.float64,
+            )
+            # positive pad: offset; negative pad: crop the source region
+            src_y0 = max(-pad_y0, 0)
+            src_x0 = max(-pad_x0, 0)
+            src_y1 = upimg.shape[0] - max(-pad_y1, 0)
+            src_x1 = upimg.shape[1] - max(-pad_x1, 0)
+            dst_y0 = max(pad_y0, 0)
+            dst_x0 = max(pad_x0, 0)
+            region = upimg[src_y0:src_y1, src_x0:src_x1]
+            padded[dst_y0 : dst_y0 + region.shape[0], dst_x0 : dst_x0 + region.shape[1]] = region
+            # true 2-D convolution with `kernel` (scipy flips internally)
+            conv = convolve2d(padded, kernel.astype(np.float64), mode="valid")
+            out[b, ch] = conv[::down_y, ::down_x]
+    return out

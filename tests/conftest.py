@@ -1,0 +1,23 @@
+"""Test configuration: force CPU backend with 8 virtual devices.
+
+Must run before jax initializes its backends, so this sits at conftest import
+time.  Multi-chip sharding tests use the 8-device virtual CPU mesh; the driver
+separately validates `__graft_entry__.dryrun_multichip` the same way.
+"""
+
+import os
+
+# The session env pins JAX_PLATFORMS to the TPU platform; tests always run on
+# the virtual-device CPU backend, so override unconditionally.
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# jax may already have been imported (and captured JAX_PLATFORMS) by a plugin
+# before this conftest ran; updating the config works as long as no backend
+# has been initialized yet.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
