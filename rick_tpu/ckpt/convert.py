@@ -1,0 +1,198 @@
+"""Converters between rosinality torch state dicts and rick-tpu param pytrees.
+
+Key layout on the torch side (reference `model_probe_tune.py`):
+
+  Generator:
+    style.{1..n_mlp}.weight/bias          (Sequential; index 0 is PixelNorm)
+    input.input                           (1, ch4, 4, 4)
+    conv1.conv.weight                     (1, out, in, 3, 3)   <- 5-D!
+    conv1.conv.modulation.weight/bias
+    conv1.noise.weight                    (1,)
+    conv1.activate.bias
+    to_rgb1.conv.weight (1,3,in,1,1) / .conv.modulation.* / .bias (1,3,1,1)
+    convs.{i}.<same as conv1>             i in 0..2*(log-2)-1
+    to_rgbs.{i}.<same as to_rgb1>
+    noises.noise_{j}                      (1,1,2^r,2^r)
+
+  Discriminator:
+    convs.0.0.weight / convs.0.1.bias                       (from_rgb ConvLayer)
+    convs.{b}.conv1.0.weight / convs.{b}.conv1.1.bias       (ResBlock)
+    convs.{b}.conv2.1.weight / convs.{b}.conv2.2.bias       (downsample ConvLayer)
+    convs.{b}.skip.1.weight
+    final_conv.0.weight / final_conv.1.bias
+    final_linear.{0,1}.weight/bias
+
+rick-tpu side: see `rick_tpu/nn/generator.py` / `discriminator.py` (modconv
+weights are 4-D (out,in,k,k); noise scalars are 0-D).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from rick_tpu.nn.discriminator import DiscriminatorConfig
+from rick_tpu.nn.generator import GeneratorConfig
+
+
+def _j(x):
+    return jnp.asarray(np.asarray(x), dtype=jnp.float32)
+
+
+def _n(x):
+    return np.asarray(x, dtype=np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Generator
+# ---------------------------------------------------------------------------
+
+
+def _styled_from_sd(sd, prefix):
+    return {
+        "conv": {
+            "weight": _j(sd[f"{prefix}.conv.weight"])[0],  # (1,o,i,k,k) -> (o,i,k,k)
+            "modulation": {
+                "weight": _j(sd[f"{prefix}.conv.modulation.weight"]),
+                "bias": _j(sd[f"{prefix}.conv.modulation.bias"]),
+            },
+        },
+        "noise_weight": _j(sd[f"{prefix}.noise.weight"]).reshape(()),
+        "act_bias": _j(sd[f"{prefix}.activate.bias"]),
+    }
+
+
+def _styled_to_sd(p, prefix, out):
+    out[f"{prefix}.conv.weight"] = _n(p["conv"]["weight"])[None]
+    out[f"{prefix}.conv.modulation.weight"] = _n(p["conv"]["modulation"]["weight"])
+    out[f"{prefix}.conv.modulation.bias"] = _n(p["conv"]["modulation"]["bias"])
+    out[f"{prefix}.noise.weight"] = _n(p["noise_weight"]).reshape(1)
+    out[f"{prefix}.activate.bias"] = _n(p["act_bias"])
+
+
+def _torgb_from_sd(sd, prefix):
+    return {
+        "conv": {
+            "weight": _j(sd[f"{prefix}.conv.weight"])[0],
+            "modulation": {
+                "weight": _j(sd[f"{prefix}.conv.modulation.weight"]),
+                "bias": _j(sd[f"{prefix}.conv.modulation.bias"]),
+            },
+        },
+        "bias": _j(sd[f"{prefix}.bias"]),
+    }
+
+
+def _torgb_to_sd(p, prefix, out):
+    out[f"{prefix}.conv.weight"] = _n(p["conv"]["weight"])[None]
+    out[f"{prefix}.conv.modulation.weight"] = _n(p["conv"]["modulation"]["weight"])
+    out[f"{prefix}.conv.modulation.bias"] = _n(p["conv"]["modulation"]["bias"])
+    out[f"{prefix}.bias"] = _n(p["bias"])
+
+
+def generator_params_from_state_dict(cfg: GeneratorConfig, sd: Dict[str, np.ndarray]):
+    params = {
+        "style": [
+            {
+                "weight": _j(sd[f"style.{i+1}.weight"]),
+                "bias": _j(sd[f"style.{i+1}.bias"]),
+            }
+            for i in range(cfg.n_mlp)
+        ],
+        "input": _j(sd["input.input"]),
+        "conv1": _styled_from_sd(sd, "conv1"),
+        "to_rgb1": _torgb_from_sd(sd, "to_rgb1"),
+        "convs": [
+            _styled_from_sd(sd, f"convs.{i}") for i in range(2 * (cfg.log_size - 2))
+        ],
+        "to_rgbs": [
+            _torgb_from_sd(sd, f"to_rgbs.{i}") for i in range(cfg.log_size - 2)
+        ],
+        "noises": [
+            _j(sd[f"noises.noise_{j}"]) for j in range(cfg.num_layers)
+        ],
+    }
+    return params
+
+
+def generator_state_dict_from_params(cfg: GeneratorConfig, params) -> Dict[str, np.ndarray]:
+    sd: Dict[str, np.ndarray] = {}
+    for i, layer in enumerate(params["style"]):
+        sd[f"style.{i+1}.weight"] = _n(layer["weight"])
+        sd[f"style.{i+1}.bias"] = _n(layer["bias"])
+    sd["input.input"] = _n(params["input"])
+    _styled_to_sd(params["conv1"], "conv1", sd)
+    _torgb_to_sd(params["to_rgb1"], "to_rgb1", sd)
+    for i, p in enumerate(params["convs"]):
+        _styled_to_sd(p, f"convs.{i}", sd)
+    for i, p in enumerate(params["to_rgbs"]):
+        _torgb_to_sd(p, f"to_rgbs.{i}", sd)
+    for j, nz in enumerate(params["noises"]):
+        sd[f"noises.noise_{j}"] = _n(nz)
+    return sd
+
+
+# ---------------------------------------------------------------------------
+# Discriminator
+# ---------------------------------------------------------------------------
+
+
+def discriminator_params_from_state_dict(cfg: DiscriminatorConfig, sd: Dict[str, np.ndarray]):
+    n_blocks = cfg.log_size - 2
+    convs = [
+        {
+            "weight": _j(sd["convs.0.0.weight"]),
+            "act_bias": _j(sd["convs.0.1.bias"]),
+        }
+    ]
+    for b in range(1, n_blocks + 1):
+        convs.append(
+            {
+                "conv1": {
+                    "weight": _j(sd[f"convs.{b}.conv1.0.weight"]),
+                    "act_bias": _j(sd[f"convs.{b}.conv1.1.bias"]),
+                },
+                "conv2": {
+                    "weight": _j(sd[f"convs.{b}.conv2.1.weight"]),
+                    "act_bias": _j(sd[f"convs.{b}.conv2.2.bias"]),
+                },
+                "skip": {"weight": _j(sd[f"convs.{b}.skip.1.weight"])},
+            }
+        )
+    return {
+        "convs": convs,
+        "final_conv": {
+            "weight": _j(sd["final_conv.0.weight"]),
+            "act_bias": _j(sd["final_conv.1.bias"]),
+        },
+        "final_linear": [
+            {
+                "weight": _j(sd["final_linear.0.weight"]),
+                "bias": _j(sd["final_linear.0.bias"]),
+            },
+            {
+                "weight": _j(sd["final_linear.1.weight"]),
+                "bias": _j(sd["final_linear.1.bias"]),
+            },
+        ],
+    }
+
+
+def discriminator_state_dict_from_params(cfg: DiscriminatorConfig, params) -> Dict[str, np.ndarray]:
+    sd: Dict[str, np.ndarray] = {}
+    sd["convs.0.0.weight"] = _n(params["convs"][0]["weight"])
+    sd["convs.0.1.bias"] = _n(params["convs"][0]["act_bias"])
+    for b, block in enumerate(params["convs"][1:], start=1):
+        sd[f"convs.{b}.conv1.0.weight"] = _n(block["conv1"]["weight"])
+        sd[f"convs.{b}.conv1.1.bias"] = _n(block["conv1"]["act_bias"])
+        sd[f"convs.{b}.conv2.1.weight"] = _n(block["conv2"]["weight"])
+        sd[f"convs.{b}.conv2.2.bias"] = _n(block["conv2"]["act_bias"])
+        sd[f"convs.{b}.skip.1.weight"] = _n(block["skip"]["weight"])
+    sd["final_conv.0.weight"] = _n(params["final_conv"]["weight"])
+    sd["final_conv.1.bias"] = _n(params["final_conv"]["act_bias"])
+    for i, layer in enumerate(params["final_linear"]):
+        sd[f"final_linear.{i}.weight"] = _n(layer["weight"])
+        sd[f"final_linear.{i}.bias"] = _n(layer["bias"])
+    return sd

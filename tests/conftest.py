@@ -21,3 +21,7 @@ import jax  # noqa: E402
 # has been initialized yet.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# persistent compilation cache: repeated test runs skip XLA recompiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/rick_tpu_test_xla_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
