@@ -21,6 +21,9 @@ import jax  # noqa: E402
 # has been initialized yet.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# jax 0.9 runs f32 convs/matmuls at reduced precision by default even on CPU
+# (~1e-3 abs error); tests need exact f32 numerics.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 # persistent compilation cache: repeated test runs skip XLA recompiles
 jax.config.update("jax_compilation_cache_dir", "/tmp/rick_tpu_test_xla_cache")

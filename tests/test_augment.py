@@ -1,0 +1,139 @@
+"""ADA augmentation parity tests.
+
+Oracle: the REAL reference `non_leaking.py`, imported from /root/reference with
+its CUDA `op` module stubbed by a CPU upfirdn2d, and `get_padding` pinned to
+our static margin.  (The reference's own output depends on its dynamic
+G-derived pads through a subpixel phase -- verified during development -- so
+the parity contract is: our implementation == reference evaluated at pad=M,
+exactly; see `rick_tpu/augment/ada.py` docstring.)
+"""
+
+import math
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from rick_tpu.augment import apply_affine, apply_color, augment, sample_affine, sample_color
+
+MARGIN = 12  # small for test speed; any value >= the true pad works identically
+
+
+def _upfirdn2d_cpu(input, kernel, up=1, down=1, pad=(0, 0)):
+    x = input
+    k = kernel
+    n, c, h, w = x.shape
+    u = torch.zeros(n, c, h * up, w * up, dtype=x.dtype)
+    u[:, :, ::up, ::up] = x
+    u = F.pad(u, (pad[0], pad[1], pad[0], pad[1]))
+    kk = torch.flip(k, (0, 1)).reshape(1, 1, *k.shape).to(x.dtype)
+    out = F.conv2d(u.reshape(n * c, 1, u.shape[2], u.shape[3]), kk)
+    out = out.reshape(n, c, out.shape[2], out.shape[3])
+    return out[:, :, ::down, ::down]
+
+
+@pytest.fixture(scope="module")
+def ref_non_leaking():
+    op = types.ModuleType("op")
+    op.upfirdn2d = _upfirdn2d_cpu
+    op.FusedLeakyReLU = None
+    op.fused_leaky_relu = None
+    sys.modules["op"] = op
+    sys.path.insert(0, "/root/reference")
+    import non_leaking
+
+    non_leaking.get_padding = lambda Ginv, h, w: (MARGIN, MARGIN, MARGIN, MARGIN)
+    yield non_leaking
+    sys.path.remove("/root/reference")
+
+
+def _affine_cases():
+    eye = torch.eye(3).unsqueeze(0).repeat(2, 1, 1)
+    shift = eye.clone()
+    shift[:, 0, 2] = 2 * 3 / 32.0
+    th = math.radians(10)
+    rot = eye.clone()
+    rot[:, 0, 0] = math.cos(th)
+    rot[:, 0, 1] = -math.sin(th)
+    rot[:, 1, 0] = math.sin(th)
+    rot[:, 1, 1] = math.cos(th)
+    scale = eye.clone()
+    scale[:, 0, 0] = 0.85
+    scale[:, 1, 1] = 0.85
+    flip = eye.clone()
+    flip[:, 0, 0] = -1.0
+    combo = rot @ shift @ flip
+    return {"identity": eye, "shift": shift, "rot10": rot, "scale0.85": scale, "flip": flip, "combo": combo}
+
+
+@pytest.mark.parametrize("case", list(_affine_cases().keys()))
+def test_apply_affine_matches_reference(ref_non_leaking, case):
+    G = _affine_cases()[case]
+    img_np = np.random.default_rng(0).standard_normal((2, 3, 32, 32)).astype(np.float32)
+    ref, _ = ref_non_leaking.random_apply_affine(torch.from_numpy(img_np), 0.0, G)
+    mine = apply_affine(jnp.asarray(img_np), jnp.asarray(G.numpy()), margin=MARGIN)
+    np.testing.assert_allclose(np.asarray(mine), ref.numpy(), atol=2e-4, rtol=1e-3)
+
+
+def test_apply_color_matches_reference(ref_non_leaking):
+    img_np = np.random.default_rng(1).standard_normal((2, 3, 16, 16)).astype(np.float32)
+    C = torch.from_numpy(np.random.default_rng(2).standard_normal((2, 4, 4)).astype(np.float32))
+    ref, _ = ref_non_leaking.random_apply_color(torch.from_numpy(img_np), 0.0, C)
+    mine = apply_color(jnp.asarray(img_np), jnp.asarray(C.numpy()))
+    np.testing.assert_allclose(np.asarray(mine), ref.numpy(), atol=1e-5, rtol=1e-5)
+
+
+def test_margin_sensitivity_is_subpixel_only():
+    """The reference pipeline (and therefore ours) carries a pad-dependent
+    subpixel phase: different margins give slightly shifted outputs, never
+    grossly different content.  (Exact parity at a FIXED margin is covered by
+    the reference-oracle tests above.)"""
+    img = jnp.asarray(np.random.default_rng(0).standard_normal((1, 3, 32, 32)).astype(np.float32))
+    G = jnp.asarray(_affine_cases()["rot10"].numpy()[:1])
+    a = apply_affine(img, G, margin=10)
+    b = apply_affine(img, G, margin=18)
+    diff = np.abs(np.asarray(a) - np.asarray(b))
+    assert diff.mean() < 0.15, diff.mean()
+    # and the two outputs are far more similar to each other than to noise
+    corr = np.corrcoef(np.asarray(a).ravel(), np.asarray(b).ravel())[0, 1]
+    assert corr > 0.98, corr
+
+
+def test_p0_sampling_gives_identity_matrices():
+    G = sample_affine(jax.random.key(0), 0.0, 4, 32, 32)
+    np.testing.assert_allclose(np.asarray(G), np.tile(np.eye(3), (4, 1, 1)), atol=1e-6)
+    C = sample_color(jax.random.key(1), 0.0, 4)
+    np.testing.assert_allclose(np.asarray(C), np.tile(np.eye(4), (4, 1, 1)), atol=1e-6)
+
+
+def test_p1_transforms_are_nontrivial_and_traced_p_jits():
+    @jax.jit
+    def run(key, img, p):
+        return augment(key, img, p, margin=8)
+
+    img = jnp.asarray(np.random.default_rng(0).standard_normal((4, 3, 32, 32)).astype(np.float32))
+    out, (G, C) = run(jax.random.key(0), img, jnp.float32(1.0))
+    assert out.shape == img.shape
+    # with p=1 essentially every G differs from identity
+    dev = np.abs(np.asarray(G) - np.eye(3)).max(axis=(1, 2))
+    assert (dev > 1e-3).all()
+    # p=0 through the SAME jitted fn (p is traced, no recompile semantics)
+    out0, (G0, _) = run(jax.random.key(1), img, jnp.float32(0.0))
+    np.testing.assert_allclose(np.asarray(G0), np.tile(np.eye(3), (4, 1, 1)), atol=1e-6)
+
+
+def test_sample_affine_distribution_properties():
+    """Statistical sanity: flip probability ~ p/2, determinant magnitude 1 for
+    rotations/flips only cases."""
+    n = 2000
+    G = np.asarray(sample_affine(jax.random.key(7), 0.5, n, 256, 256))
+    # x-axis reflection shows up as negative determinant; with only flips
+    # toggling sign, P(det<0) = p/2 = 0.25
+    frac_neg = (np.linalg.det(G) < 0).mean()
+    assert abs(frac_neg - 0.25) < 0.05
