@@ -1,0 +1,172 @@
+"""Fisher information estimation and dynamic freeze/fine-tune/prune decisions.
+
+Mirror of `train_dynamic_update_prune.py:213-393` (the paper's method):
+per-single-image squared gradients of the EMA models, filter-level scores,
+global per-group percentiles, and freeze/prune masks.  The per-image python
+loop of the reference becomes a jitted per-image grad accumulated over the
+fixed `_noise` latents; scores/percentiles/masks are computed on device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rick_tpu.nn import discriminator_apply, generator_apply
+from rick_tpu.train.losses import d_logistic_loss, g_nonsaturating_loss
+
+
+def _single_image_fims(gcfg, dcfg, g_ema, d_ema, z, real, rng):
+    """Squared grads of per-single-image G and D losses wrt the EMA params
+    (`:230-248`).  z: (1, 512); real: (1, 3, H, W)."""
+
+    def g_loss_fn(gp):
+        fake, _ = generator_apply(gcfg, gp, [z], rng=rng)
+        pred, _ = discriminator_apply(dcfg, d_ema, fake)
+        return g_nonsaturating_loss(pred)
+
+    def d_loss_fn(dp):
+        fake, _ = generator_apply(gcfg, g_ema, [z], rng=rng)
+        fake_pred, _ = discriminator_apply(dcfg, dp, fake)
+        real_pred, _ = discriminator_apply(dcfg, dp, real)
+        return d_logistic_loss(real_pred, fake_pred)
+
+    g_grads = jax.grad(g_loss_fn)(g_ema)
+    d_grads = jax.grad(d_loss_fn)(d_ema)
+    sq = lambda t: jax.tree.map(lambda x: x * x, t)
+    return sq(g_grads), sq(d_grads)
+
+
+def accumulate_fims(gcfg, dcfg, g_ema, d_ema, noises, reals, rng, *, batch: int):
+    """Average FIM over the fisher latents (`:225-269`).
+
+    noises: (N, 512); reals: (N, 3, H, W).  The reference divides the summed
+    FIM by num_fisher_img * args.batch (`:266-269`) -- replicated verbatim,
+    including the quirk that the divisor uses the train batch size.
+    """
+    n = noises.shape[0]
+    single = jax.jit(
+        functools.partial(_single_image_fims, gcfg, dcfg)
+    )
+    fim_g = None
+    fim_d = None
+    keys = jax.random.split(rng, n)
+    for j in range(n):
+        sg, sd = single(g_ema, d_ema, noises[j : j + 1], reals[j : j + 1], keys[j])
+        if fim_g is None:
+            fim_g, fim_d = sg, sd
+        else:
+            fim_g = jax.tree.map(jnp.add, fim_g, sg)
+            fim_d = jax.tree.map(jnp.add, fim_d, sd)
+    denom = float(n * batch)
+    fim_g = jax.tree.map(lambda x: x / denom, fim_g)
+    fim_d = jax.tree.map(lambda x: x / denom, fim_d)
+    return fim_g, fim_d
+
+
+@functools.partial(jax.jit, static_argnames=("fisher_quantile", "prune_quantile"))
+def masks_from_fims(fim_g, fim_d, *, fisher_quantile: float, prune_quantile: float):
+    """Filter scores, percentile cutlines and freeze/prune masks
+    (`:279-384`).  Returns (g_freeze, g_prune, d_freeze, d_prune)."""
+    # ---- G conv group (`:279-286`): per-out-filter mean of conv weight FIM
+    conv_scores = [
+        blk["conv"]["weight"].mean(axis=(1, 2, 3)) for blk in fim_g["convs"]
+    ]
+    grouped_conv = jnp.concatenate(conv_scores)
+    cut_conv = jnp.percentile(grouped_conv, fisher_quantile)
+    prune_conv = jnp.percentile(grouped_conv, prune_quantile)
+
+    # ---- G FC group (`:289-299`): (mod weight FIM row-mean + bias FIM)/2
+    fc_scores = [
+        (blk["conv"]["modulation"]["weight"].mean(axis=1) + blk["conv"]["modulation"]["bias"]) / 2.0
+        for blk in fim_g["convs"]
+    ]
+    grouped_fc = jnp.concatenate(fc_scores)
+    cut_fc = jnp.percentile(grouped_fc, fisher_quantile)
+    prune_fc = jnp.percentile(grouped_fc, prune_quantile)
+
+    g_freeze = {"convs": []}
+    g_prune = {"convs": []}
+    for cs, fs in zip(conv_scores, fc_scores):
+        g_freeze["convs"].append(
+            {
+                "weight": (cs > cut_conv).astype(jnp.float32),
+                "mod_w": (fs > cut_fc).astype(jnp.float32),
+                "mod_b": (fs > cut_fc).astype(jnp.float32),
+            }
+        )
+        g_prune["convs"].append(
+            {
+                "weight": (cs <= prune_conv).astype(jnp.float32),
+                "mod_w": (fs <= prune_fc).astype(jnp.float32),
+                "mod_b": (fs <= prune_fc).astype(jnp.float32),
+            }
+        )
+
+    # ---- D conv group (`:332-353`): (weight FIM filter-mean + paired bias)/2,
+    # plus skip weights scored alone
+    d_scores = []
+    per_block = []
+    for blk in fim_d["convs"][1:]:
+        s1 = (blk["conv1"]["weight"].mean(axis=(1, 2, 3)) + blk["conv1"]["act_bias"]) / 2.0
+        s2 = (blk["conv2"]["weight"].mean(axis=(1, 2, 3)) + blk["conv2"]["act_bias"]) / 2.0
+        sk = blk["skip"]["weight"].mean(axis=(1, 2, 3))
+        per_block.append((s1, s2, sk))
+        d_scores += [s1, s2, sk]
+    grouped_d = jnp.concatenate(d_scores)
+    cut_d = jnp.percentile(grouped_d, fisher_quantile)
+    prune_d = jnp.percentile(grouped_d, prune_quantile)
+
+    d_freeze = {"convs": []}
+    d_prune = {"convs": []}
+    for s1, s2, sk in per_block:
+        d_freeze["convs"].append(
+            {
+                "conv1_w": (s1 > cut_d).astype(jnp.float32),
+                "conv1_b": (s1 > cut_d).astype(jnp.float32),
+                "conv2_w": (s2 > cut_d).astype(jnp.float32),
+                "conv2_b": (s2 > cut_d).astype(jnp.float32),
+                "skip_w": (sk > cut_d).astype(jnp.float32),
+            }
+        )
+        d_prune["convs"].append(
+            {
+                "conv1_w": (s1 <= prune_d).astype(jnp.float32),
+                "conv1_b": (s1 <= prune_d).astype(jnp.float32),
+                "conv2_w": (s2 <= prune_d).astype(jnp.float32),
+                "conv2_b": (s2 <= prune_d).astype(jnp.float32),
+                # NOTE: skip layers use strict < for pruning (`:384`)
+                "skip_w": (sk < prune_d).astype(jnp.float32),
+            }
+        )
+
+    return g_freeze, g_prune, d_freeze, d_prune
+
+
+def fisher_round(
+    gcfg,
+    dcfg,
+    g_ema,
+    d_ema,
+    noises,
+    reals,
+    rng,
+    *,
+    batch: int,
+    fisher_quantile: float,
+    prune_quantile: float,
+) -> Tuple:
+    """Full Fisher round (`:213-393`): FIM accumulation + mask decisions.
+
+    Returns (g_freeze, g_prune, d_freeze, d_prune); the caller merges the
+    prune masks monotonically (`masks.merge_prune`).
+    """
+    fim_g, fim_d = accumulate_fims(
+        gcfg, dcfg, g_ema, d_ema, noises, reals, rng, batch=batch
+    )
+    return masks_from_fims(
+        fim_g, fim_d, fisher_quantile=fisher_quantile, prune_quantile=prune_quantile
+    )
