@@ -1,0 +1,158 @@
+"""Host-side image loading: decode pool -> transform -> device prefetch.
+
+Replaces the reference's torch DataLoader with 8 workers
+(`train_dynamic_update_prune.py:823-843`).  Decoding uses cv2 (fast libpng/
+libjpeg path) with a PIL fallback; transforms mirror the reference's
+torchvision chain (`:789-808`): Resize(size) -> CenterCrop(size) ->
+RandomHorizontalFlip -> ToTensor -> Normalize(0.5, 0.5) producing NCHW float32
+in [-1, 1].  `data_stream` runs a background thread that keeps a small queue
+of ready device arrays (double-buffered H2D overlap).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+try:
+    import cv2
+
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    _HAS_CV2 = False
+
+from rick_tpu.data.store import open_image_store
+
+
+def _decode(blob: bytes) -> np.ndarray:
+    """PNG/JPEG bytes -> HWC uint8 RGB."""
+    if _HAS_CV2:
+        arr = cv2.imdecode(np.frombuffer(blob, np.uint8), cv2.IMREAD_COLOR)
+        return cv2.cvtColor(arr, cv2.COLOR_BGR2RGB)
+    from io import BytesIO
+
+    from PIL import Image
+
+    return np.asarray(Image.open(BytesIO(blob)).convert("RGB"))
+
+
+def _resize_shorter(img: np.ndarray, size: int) -> np.ndarray:
+    """torchvision Resize(size): scale shorter side to `size` (bilinear)."""
+    h, w = img.shape[:2]
+    if min(h, w) == size:
+        return img
+    if h < w:
+        nh, nw = size, max(1, round(w * size / h))
+    else:
+        nh, nw = max(1, round(h * size / w)), size
+    if _HAS_CV2:
+        return cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    from PIL import Image
+
+    return np.asarray(Image.fromarray(img).resize((nw, nh), Image.BILINEAR))
+
+
+def _center_crop(img: np.ndarray, size: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    top = (h - size) // 2
+    left = (w - size) // 2
+    return img[top : top + size, left : left + size]
+
+
+def train_transform(img: np.ndarray, size: int, rng: np.random.Generator, *, flip: bool = True) -> np.ndarray:
+    """Reference train transform chain -> CHW float32 in [-1, 1]."""
+    img = _resize_shorter(img, size)
+    img = _center_crop(img, size)
+    if flip and rng.random() < 0.5:
+        img = img[:, ::-1]
+    out = img.astype(np.float32) / 127.5 - 1.0
+    return np.ascontiguousarray(out.transpose(2, 0, 1))
+
+
+class ImageDataset:
+    """RecordStore/lmdb-backed dataset (mirror of `MultiResolutionDataset`)."""
+
+    def __init__(self, path: str, resolution: int = 256, *, flip: bool = True, indices=None):
+        self.store = open_image_store(path)
+        self.resolution = resolution
+        self.flip = flip
+        self.indices = list(indices) if indices is not None else list(range(len(self.store)))
+
+    def __len__(self):
+        return len(self.indices)
+
+    def get(self, i: int, rng: np.random.Generator) -> np.ndarray:
+        blob = self.store.get(self.indices[i])
+        return train_transform(_decode(blob), self.resolution, rng, flip=self.flip)
+
+
+def data_stream(
+    dataset: ImageDataset,
+    batch_size: int,
+    *,
+    seed: int = 0,
+    shuffle: bool = True,
+    drop_last: bool = True,
+    device_put=None,
+    prefetch: int = 2,
+) -> Iterator:
+    """Infinite batch iterator with background prefetch.
+
+    Mirrors `sample_data(DataLoader(...))` (`:76-79,823-831`): epoch-shuffled,
+    drop-last batching, looping forever.  `device_put` (e.g. jax.device_put or
+    a sharding-aware closure) runs on the producer thread so H2D transfer
+    overlaps the training step.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def producer():
+        rng = np.random.default_rng(seed)
+        n = len(dataset)
+        while not stop.is_set():
+            order = rng.permutation(n) if shuffle else np.arange(n)
+            end = n - (n % batch_size) if drop_last else n
+            if end == 0:
+                # dataset smaller than batch: sample with replacement
+                order = rng.integers(0, n, size=batch_size)
+                end = batch_size
+            for s in range(0, end, batch_size):
+                idx = order[s : s + batch_size]
+                batch = np.stack([dataset.get(int(i), rng) for i in idx])
+                if device_put is not None:
+                    batch = device_put(batch)
+                while not stop.is_set():
+                    try:
+                        q.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+
+    class _Stream:
+        def __iter__(self):
+            return self
+
+        def __next__(self):
+            return q.get()
+
+        def close(self):
+            stop.set()
+
+    return _Stream()
+
+
+def get_nsamples(dataset: ImageDataset, n: int, *, seed: int = 0) -> np.ndarray:
+    """First-n eval-set cache, mirror of `get_nsamples_lmdb`
+    (`gan_training/utils.py:38-49`): sequential batches until n collected
+    (capped at the dataset size)."""
+    rng = np.random.default_rng(seed)
+    n = min(n, len(dataset))
+    return np.stack([dataset.get(i, rng) for i in range(n)])
