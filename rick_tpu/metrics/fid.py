@@ -1,0 +1,89 @@
+"""FID: on-device InceptionV3 pool3 activations + host Frechet distance.
+
+Mirror of `gan_training/metrics/fid_score.py`: activations in fixed batches
+(dataset truncated to batch multiples, `:208-211`), statistics in float64,
+`scipy.linalg.sqrtm` with the singular-product fallback (`:94-129`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import linalg
+
+from rick_tpu.metrics.inception import default_inception_params, inception_pool3
+
+_model_params = None  # module-level singleton, like the reference (`fid_score.py:39`)
+
+
+def _params():
+    global _model_params
+    if _model_params is None:
+        _model_params = default_inception_params()
+    return _model_params
+
+
+@functools.partial(jax.jit, static_argnums=())
+def _pool3(params, batch):
+    return inception_pool3(params, batch)
+
+
+def get_activations(images: np.ndarray, batch_size: int = 64, params=None) -> np.ndarray:
+    """pool3 activations for NCHW images in [-1, 1] (numpy or jax array)."""
+    if params is None:
+        params = _params()
+    d0 = images.shape[0]
+    batch_size = min(batch_size, d0)
+    n_batches = d0 // batch_size
+    outs = []
+    for i in range(n_batches):
+        batch = jnp.asarray(np.asarray(images[i * batch_size : (i + 1) * batch_size], np.float32))
+        outs.append(np.asarray(_pool3(params, batch), np.float64))
+    return np.concatenate(outs, axis=0)
+
+
+def calculate_frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6) -> float:
+    """`fid_score.py:94-129` verbatim math."""
+    mu1 = np.atleast_1d(mu1)
+    mu2 = np.atleast_1d(mu2)
+    sigma1 = np.atleast_2d(sigma1)
+    sigma2 = np.atleast_2d(sigma2)
+    diff = mu1 - mu2
+
+    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
+            raise ValueError(
+                f"Imaginary component {np.max(np.abs(covmean.imag))}"
+            )
+        covmean = covmean.real
+
+    return float(
+        diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean)
+    )
+
+
+def activation_statistics(images, batch_size=64, params=None):
+    act = get_activations(images, batch_size, params)
+    mu = np.mean(act, axis=0)
+    sigma = np.cov(act, rowvar=False)
+    return mu, sigma
+
+
+def calculate_fid_given_images(imgs0, imgs1, batch_size: int = 64, params=None) -> float:
+    """FID between two image sets, with the reference's batch-truncation
+    semantics (`fid_score.py:198-217`)."""
+    b0 = min(batch_size, imgs0.shape[0])
+    b1 = min(batch_size, imgs1.shape[0])
+    imgs0 = imgs0[: (imgs0.shape[0] // b0) * b0]
+    imgs1 = imgs1[: (imgs1.shape[0] // b1) * b1]
+    m1, s1 = activation_statistics(imgs0, b0, params)
+    m2, s2 = activation_statistics(imgs1, b1, params)
+    return calculate_frechet_distance(m1, s1, m2, s2)
