@@ -150,10 +150,39 @@ def _load_zip(path: str) -> Any:
             return _Unpickler(io.BytesIO(f.read()), lookup).load()
 
 
+class _LazyTensor:
+    """Placeholder for a tensor whose storage bytes arrive after the pickle
+    stream (legacy torch serialization); materialized in a post-pass."""
+
+    def __init__(self, storage, offset, size, stride):
+        self.storage = storage
+        self.offset = offset
+        self.size = size
+        self.stride = stride
+
+    def materialize(self):
+        return _rebuild_tensor_v2(self.storage, self.offset, self.size, self.stride)
+
+
+def _resolve_lazy(obj):
+    if isinstance(obj, _LazyTensor):
+        return obj.materialize()
+    if isinstance(obj, OrderedDict):
+        return OrderedDict((k, _resolve_lazy(v)) for k, v in obj.items())
+    if isinstance(obj, dict):
+        return {k: _resolve_lazy(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_resolve_lazy(v) for v in obj]
+    if isinstance(obj, tuple):
+        return tuple(_resolve_lazy(v) for v in obj)
+    return obj
+
+
 def _load_legacy(path: str) -> Any:
     """Legacy torch serialization: magic pickle + sys_info + main pickle with
-    storage persistent ids, followed by per-storage payloads
-    (8-byte count + raw data each, in deserialization order)."""
+    storage persistent ids, followed by per-storage payloads (8-byte count +
+    raw data each, keyed by a trailing key list).  Tensor materialization is
+    deferred until the payloads are read."""
     with open(path, "rb") as f:
         magic = pickle.load(f)
         if magic != 0x1950A86A20F9469CFC6C:
@@ -162,7 +191,9 @@ def _load_legacy(path: str) -> Any:
         pickle.load(f)  # sys_info
 
         storages: Dict[str, _StorageStub] = {}
-        order = []
+
+        def _lazy_rebuild(storage, offset, size, stride, *rest):
+            return _LazyTensor(storage, offset, size, stride)
 
         class LegacyUnpickler(_Unpickler):
             def persistent_load(self, pid):
@@ -171,18 +202,20 @@ def _load_legacy(path: str) -> Any:
                     storage_type, key, _loc, numel, *_ = pid[1:]
                     name = getattr(storage_type, "name", None) or str(storage_type)
                     if str(key) not in storages:
-                        stub = _StorageStub(name, b"")
-                        stub.numel = numel
-                        storages[str(key)] = stub
-                        order.append(str(key))
+                        storages[str(key)] = _StorageStub(name, b"")
                     return storages[str(key)]
                 if typename == "module":
                     return pid[1]
                 raise pickle.UnpicklingError(f"unknown persistent id {pid!r}")
 
+            def find_class(self, module, name):
+                if name in ("_rebuild_tensor_v2", "_rebuild_tensor"):
+                    return _lazy_rebuild
+                return super().find_class(module, name)
+
         result = LegacyUnpickler(f, lambda k: b"").load()
 
-        # deserialized storage keys list
+        # deserialized storage keys list, then per-storage payloads
         keys = pickle.load(f)
         for key in keys:
             (numel,) = struct.unpack("<q", f.read(8))
@@ -192,7 +225,7 @@ def _load_legacy(path: str) -> Any:
             else:
                 itemsize = np.dtype(_DTYPE_BY_STORAGE[stub.name]).itemsize
             stub.data = f.read(numel * itemsize)
-        return result
+        return _resolve_lazy(result)
 
 
 def load_torch_file(path: str) -> Any:
