@@ -1,0 +1,122 @@
+"""Benchmark: full-recipe projection on real TPU hardware.
+
+Measures (1) steady-state training iteration time at the reference recipe's
+batch size with ADA on, per phase mix (12/16 plain, 3/16 +path, 1/16 r1+path),
+(2) EMA-generator sampling + InceptionV3 throughput for the in-loop FID@5k
+evals, and (3) a Fisher-round cost; projects the FFHQ->Babies recipe
+(1750 iters, fisher every 50, FID@5k every 50 -- README.md:95-102) and prints
+ONE json line.  vs_baseline = 15 min north-star / projected minutes (>1 beats
+the target).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rick_tpu.metrics.fid import get_activations
+    from rick_tpu.metrics.inception import inception_init
+    from rick_tpu.nn import DiscriminatorConfig, GeneratorConfig, generator_apply
+    from rick_tpu.train import (
+        TrainConfig,
+        fisher_round,
+        init_train_state,
+        make_train_step,
+        run_iteration,
+    )
+
+    SIZE = 256
+    BATCH = 2
+    ITERS_TOTAL = 1750
+    WARMUP = 250
+    FISHER_FREQ = 50
+    EVAL_FREQ = 50
+    EVAL_N = 5000
+
+    gcfg = GeneratorConfig(size=SIZE)
+    dcfg = DiscriminatorConfig(size=SIZE)
+    tcfg = TrainConfig(batch=BATCH, augment=True, warmup_iter=2)
+    state = init_train_state(jax.random.key(0), gcfg, dcfg, tcfg)
+    phases = make_train_step(gcfg, dcfg, tcfg)
+
+    rng = jax.random.key(1)
+    real = jax.random.normal(jax.random.key(2), (BATCH, 3, SIZE, SIZE))
+
+    # warm up all phase compilations (i=0 triggers r1+path)
+    for i in range(3):
+        rng, k = jax.random.split(rng)
+        state, _ = run_iteration(phases, state, real, k, i, tcfg)
+    jax.block_until_ready(state["g"])
+
+    # phase-mix measurement over one full 16-iter cycle x2
+    t0 = time.time()
+    NMEAS = 32
+    for i in range(NMEAS):
+        rng, k = jax.random.split(rng)
+        state, _ = run_iteration(phases, state, real, k, i + 16, tcfg)
+    jax.block_until_ready(state["g"])
+    iter_s = (time.time() - t0) / NMEAS
+
+    # eval throughput: generation + inception activations
+    gen = jax.jit(lambda gp, z, k: generator_apply(gcfg, gp, [z], rng=k)[0])
+    inc_params = inception_init()
+    z = jax.random.normal(jax.random.key(3), (50, 512))
+    imgs = gen(state["g_ema"], z, jax.random.key(4))
+    _ = get_activations(np.asarray(imgs), 50, inc_params)  # compile
+    t0 = time.time()
+    N_EVAL_MEAS = 500
+    acts = []
+    for i in range(N_EVAL_MEAS // 50):
+        imgs = gen(state["g_ema"], z, jax.random.key(10 + i))
+        acts.append(get_activations(np.asarray(imgs), 50, inc_params))
+    eval_imgs_per_s = N_EVAL_MEAS / (time.time() - t0)
+
+    # fisher round cost
+    noises = jax.random.normal(jax.random.key(5), (5, 512))
+    reals5 = jax.random.normal(jax.random.key(6), (5, 3, SIZE, SIZE))
+    fisher_round(  # compile
+        gcfg, dcfg, state["g_ema"], state["d_ema"], noises, reals5,
+        jax.random.key(7), batch=BATCH, fisher_quantile=40.0, prune_quantile=0.1,
+    )
+    t0 = time.time()
+    fisher_round(
+        gcfg, dcfg, state["g_ema"], state["d_ema"], noises, reals5,
+        jax.random.key(8), batch=BATCH, fisher_quantile=40.0, prune_quantile=0.1,
+    )
+    fisher_s = time.time() - t0
+
+    n_fisher = (ITERS_TOTAL - WARMUP) // FISHER_FREQ + 1
+    n_evals = ITERS_TOTAL // EVAL_FREQ + 1
+    projected_s = (
+        ITERS_TOTAL * iter_s
+        + n_fisher * fisher_s
+        + n_evals * (EVAL_N / eval_imgs_per_s)
+    )
+    projected_min = projected_s / 60.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "projected FFHQ->Babies recipe wall-clock (1750 iters + 36x FID@5k)",
+                "value": round(projected_min, 2),
+                "unit": "minutes",
+                "vs_baseline": round(15.0 / projected_min, 3),
+                "detail": {
+                    "train_iter_ms": round(iter_s * 1000, 1),
+                    "eval_imgs_per_s": round(eval_imgs_per_s, 1),
+                    "fisher_round_s": round(fisher_s, 2),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -41,6 +41,17 @@ def _j(x):
     return jnp.asarray(np.asarray(x), dtype=jnp.float32)
 
 
+def merge_state_dict_lenient(full_sd: Dict, loaded_sd: Dict) -> Dict:
+    """load_state_dict(strict=False) semantics: start from the model's own
+    state dict and overwrite with whatever the checkpoint provides (unknown
+    checkpoint keys ignored, missing keys keep their init values)."""
+    out = dict(full_sd)
+    for k, v in loaded_sd.items():
+        if k in out:
+            out[k] = v
+    return out
+
+
 def _n(x):
     return np.asarray(x, dtype=np.float32)
 

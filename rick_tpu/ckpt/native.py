@@ -1,0 +1,52 @@
+"""Native checkpointing: the FULL training state (params, EMA, per-leaf Adam
+state, freeze/prune masks, ADA/path scalars) for true resume -- a capability
+the reference lacks (`SURVEY.md` par. 5: `args.start_iter` is never restored).
+
+Format: a single .npz whose keys are '/'-joined tree paths, plus a JSON
+manifest of scalar metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Tuple
+
+import jax
+import numpy as np
+
+
+def _flatten(tree) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+        )
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def save_state(path: str, state, *, step: int, extra: Dict[str, Any] | None = None):
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    flat = _flatten(state)
+    np.savez(path, **flat)
+    manifest = {"step": step, **(extra or {})}
+    with open(path + ".json", "w") as f:
+        json.dump(manifest, f)
+
+
+def load_state(path: str, state_template) -> Tuple[Any, Dict[str, Any]]:
+    """Restore into the structure of `state_template` (same treedef)."""
+    data = np.load(path)
+    leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(state_template)
+    new_leaves = []
+    for p, leaf in leaves_with_path:
+        key = "/".join(str(getattr(q, "key", getattr(q, "idx", q))) for q in p)
+        arr = data[key]
+        new_leaves.append(jax.numpy.asarray(arr))
+    state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    manifest = {}
+    if os.path.exists(path + ".json"):
+        with open(path + ".json") as f:
+            manifest = json.load(f)
+    return state, manifest

@@ -1,0 +1,339 @@
+"""Training CLI -- flag-compatible mirror of the reference entry point
+(`train_dynamic_update_prune.py:702-964`).
+
+Same flag names and defaults; the reference's hard-coded relative paths
+(`../../_processed_train`, `../../_pretrained`, `../../_output_style_gan`)
+are exposed as --data_root / --output_root with those defaults, so the README
+commands run verbatim from the same directory layout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import shutil
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="rick-tpu few-shot StyleGAN2 adaptation")
+    # `train_dynamic_update_prune.py:703-758`
+    p.add_argument("--exp", type=str, default="tmp")
+    p.add_argument("--data_path", type=str, default="babies")
+    p.add_argument("--iter", type=int, default=31)
+    p.add_argument("--highp", type=int, default=1)
+    p.add_argument("--subspace_freq", type=int, default=4)
+    p.add_argument("--feat_ind", type=int, default=3)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--feat_const_batch", type=int, default=4)
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--patch_size", type=int, default=4)
+    p.add_argument("--feat_res", type=int, default=128)
+    p.add_argument("--r1", type=float, default=10)
+    p.add_argument("--path_regularize", type=float, default=2)
+    p.add_argument("--path_batch_shrink", type=int, default=2)
+    p.add_argument("--d_reg_every", type=int, default=16)
+    p.add_argument("--g_reg_every", type=int, default=4)
+    p.add_argument("--mixing", type=float, default=0.9)
+    p.add_argument("--subspace_std", type=float, default=0.05)
+    p.add_argument("--ckpt_source", type=str, default="style_gan_source_ffhq.pt")
+    p.add_argument("--source_key", type=str, default="ffhq")
+    p.add_argument("--lr", type=float, default=0.002)
+    p.add_argument("--channel_multiplier", type=int, default=2)
+    p.add_argument("--local_rank", type=int, default=0)
+    p.add_argument("--augment", dest="augment", action="store_true")
+    p.add_argument("--no-augment", dest="augment", action="store_false")
+    p.set_defaults(augment=False)
+    p.add_argument("--augment_p", type=float, default=0.0)
+    p.add_argument("--ada_target", type=float, default=0.6)
+    p.add_argument("--ada_length", type=int, default=500 * 1000)
+    p.add_argument("--n_sample_train", type=int, default=10)
+    p.add_argument("--n_sample_store", type=int, default=25)
+    p.add_argument("--n_sample_test", type=int, default=25)
+    p.add_argument("--store_checkpoints", action="store_true")
+    p.add_argument("--store_samples", action="store_true")
+    p.add_argument("--eval_in_training", action="store_true")
+    p.add_argument("--num_fisher_img", type=int, default=5)
+    p.add_argument("--fisher_freq", type=int, default=2)
+    p.add_argument("--fisher_coef", type=float, default=1.0)
+    p.add_argument("--fisher_quantile", type=float, default=75)
+    p.add_argument("--prune_quantile", type=float, default=0.1)
+    p.add_argument("--warmup_iter", type=int, default=10)
+    p.add_argument("--checkpoints_freq", type=int, default=500)
+    p.add_argument("--samples_freq", type=int, default=500)
+    p.add_argument("--eval_in_training_freq", type=int, default=500)
+    p.add_argument("--wandb", action="store_true")
+    p.add_argument("--wandb_project_name", type=str, default="debug")
+    p.add_argument("--wandb_run_name", type=str, default="debug")
+    p.add_argument("--method", type=str, default="dynamic_1")
+    # rick-tpu additions (defaults keep the reference layout)
+    p.add_argument("--data_root", type=str, default="../../")
+    p.add_argument("--output_root", type=str, default="../../_output_style_gan")
+    p.add_argument("--sample_noise", type=str, default="./noise.pt")
+    p.add_argument("--fisher_noise_dir", type=str, default="./_noise")
+    p.add_argument("--ada_margin", type=int, default=64)
+    p.add_argument("--resume", type=str, default="")
+    p.add_argument("--n_devices", type=int, default=0, help="0 = all local devices")
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--profile_dir", type=str, default="", help="enable jax profiler traces")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+
+    import jax
+    import jax.numpy as jnp
+
+    from rick_tpu.ckpt import (
+        discriminator_params_from_state_dict,
+        discriminator_state_dict_from_params,
+        generator_params_from_state_dict,
+        generator_state_dict_from_params,
+        load_torch_file,
+        save_torch_file,
+    )
+    from rick_tpu.ckpt.convert import merge_state_dict_lenient
+    from rick_tpu.ckpt.native import load_state, save_state
+    from rick_tpu.data import ImageDataset, data_stream, get_nsamples
+    from rick_tpu.dist import make_mesh, replicate, shard_batch
+    from rick_tpu.metrics import Evaluator
+    from rick_tpu.nn import DiscriminatorConfig, GeneratorConfig, discriminator_init, generator_init
+    from rick_tpu.train import (
+        TrainConfig,
+        fisher_round,
+        init_train_state,
+        make_train_step,
+        run_iteration,
+        sample_images,
+    )
+    from rick_tpu.train.masks import merge_prune
+    from rick_tpu.utils import save_image_grid
+
+    # ---- dirs (`:771-781`)
+    args.output_path = os.path.join(args.output_root, args.exp)
+    args.sample_dir = os.path.join(args.output_path, "samples")
+    args.checkpoint_dir = os.path.join(args.output_path, "checkpoints")
+    for d in (args.output_path, args.sample_dir, args.checkpoint_dir):
+        os.makedirs(d, exist_ok=True)
+
+    args.latent, args.n_mlp, args.start_iter = 512, 8, 0
+
+    # ---- configs
+    gcfg = GeneratorConfig(size=args.size, channel_multiplier=args.channel_multiplier)
+    dcfg = DiscriminatorConfig(size=args.size, channel_multiplier=args.channel_multiplier)
+    tcfg = TrainConfig(
+        batch=args.batch,
+        r1=args.r1,
+        path_regularize=args.path_regularize,
+        path_batch_shrink=args.path_batch_shrink,
+        d_reg_every=args.d_reg_every,
+        g_reg_every=args.g_reg_every,
+        mixing=args.mixing,
+        lr=args.lr,
+        augment=args.augment,
+        augment_p=args.augment_p,
+        ada_target=args.ada_target,
+        ada_length=args.ada_length,
+        ada_margin=args.ada_margin,
+        warmup_iter=args.warmup_iter,
+        fisher_freq=args.fisher_freq,
+        num_fisher_img=args.num_fisher_img,
+        fisher_quantile=args.fisher_quantile,
+        prune_quantile=args.prune_quantile,
+    )
+
+    # ---- data (`:789-843`)
+    train_path = os.path.join(args.data_root, "_processed_train", args.data_path)
+    test_path = os.path.join(args.data_root, "_processed_test", args.data_path)
+    if args.n_sample_train == 10:
+        train_ds = ImageDataset(train_path, resolution=args.size)
+    else:
+        base = ImageDataset(test_path, resolution=args.size)
+        few_shot_idx = np.random.choice(len(base), size=args.n_sample_train, replace=False)
+        np.savetxt(
+            os.path.join(args.output_path, f"{args.n_sample_train}-shot-index.txt"),
+            few_shot_idx,
+        )
+        train_ds = ImageDataset(test_path, resolution=args.size, indices=few_shot_idx)
+        print(f"Few-shot transfer with {few_shot_idx.size}-shot images")
+
+    mesh = make_mesh(args.n_devices or None)
+    put = lambda b: shard_batch(mesh, b)
+    train_loader = data_stream(train_ds, args.batch, seed=args.seed, device_put=put)
+
+    # ---- args.txt dump (`:845-851`)
+    with open(os.path.join(args.output_path, "args.txt"), "w") as f:
+        f.writelines("------------------ start ------------------\n")
+        for k, v in vars(args).items():
+            f.writelines(f"{k} : {v}\n")
+        f.writelines("------------------- end -------------------")
+
+    # ---- models + source checkpoint (`:864-879`)
+    key = jax.random.key(args.seed)
+    kg, kd, ktrain = jax.random.split(key, 3)
+    g_init = generator_init(kg, gcfg)
+    d_init = discriminator_init(kd, dcfg)
+    g_params = d_params = g_ema = d_ema = None
+    ckpt_path = os.path.join(args.data_root, "_pretrained", args.ckpt_source)
+    if args.ckpt_source and os.path.exists(ckpt_path):
+        assert args.source_key in args.ckpt_source
+        print("load model:", args.ckpt_source)
+        ckpt = load_torch_file(ckpt_path)
+        g_sd_full = generator_state_dict_from_params(gcfg, g_init)
+        d_sd_full = discriminator_state_dict_from_params(dcfg, d_init)
+        g_params = generator_params_from_state_dict(
+            gcfg, merge_state_dict_lenient(g_sd_full, dict(ckpt["g"]))
+        )
+        g_ema = generator_params_from_state_dict(
+            gcfg, merge_state_dict_lenient(g_sd_full, dict(ckpt["g_ema"]))
+        )
+        d_params = discriminator_params_from_state_dict(
+            dcfg, merge_state_dict_lenient(d_sd_full, dict(ckpt["d"]))
+        )
+        d_ema = jax.tree.map(lambda x: x.copy(), d_params)
+    state = init_train_state(
+        ktrain, gcfg, dcfg, tcfg,
+        g_params=g_params, d_params=d_params, g_ema=g_ema, d_ema=d_ema,
+    )
+
+    start_iter = 0
+    if args.resume:
+        state, manifest = load_state(args.resume, state)
+        start_iter = int(manifest.get("step", 0))
+        print(f"resumed from {args.resume} at iter {start_iter}")
+
+    state = replicate(mesh, state)
+    phases = make_train_step(gcfg, dcfg, tcfg)
+
+    # ---- evaluator (`:947-958`)
+    evaluator = None
+    if args.eval_in_training:
+        test_ds = ImageDataset(test_path, resolution=args.size, flip=True)
+        x_real_test = get_nsamples(test_ds, args.n_sample_test, seed=args.seed)
+        evaluator = Evaluator(
+            gcfg,
+            fid_real_samples=x_real_test,
+            inception_nsamples=args.n_sample_test,
+            batch_size=max(args.batch, 25),
+            n_sample_store=args.n_sample_store,
+        )
+        x_real = get_nsamples(train_ds, 10)
+        save_image_grid(x_real, os.path.join(args.output_path, "real.png"), nrow=5)
+
+    # ---- fixed latents
+    if os.path.exists(args.sample_noise):
+        sample_z = jnp.asarray(np.asarray(load_torch_file(args.sample_noise), np.float32))
+    else:
+        sample_z = jax.random.normal(jax.random.key(0), (args.n_sample_store, args.latent))
+
+    fisher_noises = []
+    for j in range(args.num_fisher_img):
+        fpath = os.path.join(args.fisher_noise_dir, f"{j:04d}.pt")
+        if os.path.exists(fpath):
+            fisher_noises.append(np.asarray(load_torch_file(fpath), np.float32).reshape(-1))
+        else:
+            fisher_noises.append(
+                np.asarray(jax.random.normal(jax.random.key(1000 + j), (args.latent,)))
+            )
+    fisher_noises = jnp.asarray(np.stack(fisher_noises))
+
+    # ---- training loop (`:159-699`)
+    rng = jax.random.key(args.seed + 7)
+    best_fid = 1000.0
+    t_start = time.time()
+    log_every = 10
+    for i in range(start_iter, args.iter + 10 + 1):
+        if i > args.iter + 10:
+            break
+
+        # Fisher round (`:213-393`)
+        if i >= args.warmup_iter and (i - args.warmup_iter) % args.fisher_freq == 0:
+            rng, kf = jax.random.split(rng)
+            reals = np.concatenate(
+                [np.asarray(next(train_loader))[:1] for _ in range(args.num_fisher_img)]
+            )
+            gf, gp, df, dp = fisher_round(
+                gcfg, dcfg, state["g_ema"], state["d_ema"],
+                fisher_noises, jnp.asarray(reals), kf,
+                batch=args.batch,
+                fisher_quantile=args.fisher_quantile,
+                prune_quantile=args.prune_quantile,
+            )
+            state["g_freeze"], state["d_freeze"] = gf, df
+            if i == args.warmup_iter:
+                state["g_prune"], state["d_prune"] = gp, dp
+            else:
+                state["g_prune"] = merge_prune(state["g_prune"], gp)
+                state["d_prune"] = merge_prune(state["d_prune"], dp)
+
+        real = next(train_loader)
+        rng, kstep = jax.random.split(rng)
+        state, metrics = run_iteration(phases, state, real, kstep, i, tcfg)
+
+        if i % log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            dt = time.time() - t_start
+            print(
+                f"[{i}/{args.iter}] d: {m['d']:.4f}; g: {m['g']:.4f}; r1: {m['r1']:.4f}; "
+                f"path: {m['path']:.4f}; mean path: {m['mean_path_length']:.4f}; "
+                f"augment: {m['ada_p']:.4f}; {dt:.1f}s elapsed",
+                flush=True,
+            )
+
+        if args.store_samples and i % args.samples_freq == 0:
+            grid = sample_images(gcfg, state["g_ema"], sample_z)
+            save_image_grid(
+                grid, os.path.join(args.sample_dir, f"{i:06d}.png"),
+                nrow=int(args.n_sample_store**0.5),
+            )
+
+        if args.store_checkpoints and i % args.checkpoints_freq == 0 and i > 0:
+            _save_torch_ckpt(
+                os.path.join(args.checkpoint_dir, f"{i:06d}.pt"),
+                gcfg, dcfg, state, save_torch_file,
+                generator_state_dict_from_params, discriminator_state_dict_from_params,
+            )
+            save_state(os.path.join(args.checkpoint_dir, f"{i:06d}.state.npz"), state, step=i)
+
+        if evaluator is not None and i % args.eval_in_training_freq == 0:
+            score = evaluator.compute_inception_score(state["g_ema"])
+            print(f"[{i}] FID: {score['fid']:.3f}", flush=True)
+            if score["fid"] < best_fid:
+                best_fid = score["fid"]
+                _save_torch_ckpt(
+                    os.path.join(args.checkpoint_dir, "best.pt"),
+                    gcfg, dcfg, state, save_torch_file,
+                    generator_state_dict_from_params, discriminator_state_dict_from_params,
+                )
+                np.savetxt(
+                    os.path.join(args.checkpoint_dir, "best_fid.txt"),
+                    np.asarray([best_fid]).reshape(1, -1),
+                )
+
+    train_loader.close()
+    print(f"done in {time.time()-t_start:.1f}s; best FID {best_fid}")
+
+
+def _save_torch_ckpt(path, gcfg, dcfg, state, save_torch_file, g_to_sd, d_to_sd):
+    """Reference checkpoint layout (`:644-659`): {g_ema, g, d} rosinality state
+    dicts (optimizer state lives in the .state.npz native checkpoint)."""
+    save_torch_file(
+        {
+            "g_ema": g_to_sd(gcfg, state["g_ema"]),
+            "g": g_to_sd(gcfg, state["g"]),
+            "d": d_to_sd(dcfg, state["d"]),
+        },
+        path,
+    )
+
+
+if __name__ == "__main__":
+    main()
