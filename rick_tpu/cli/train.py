@@ -151,10 +151,20 @@ def main(argv=None):
     )
 
     # ---- data (`:789-843`)
+    from rick_tpu.data.native import native_available, NativeImageDataset
+
+    def open_dataset(path, **kw):
+        if native_available():
+            try:
+                return NativeImageDataset(path, resolution=args.size, **kw)
+            except Exception:
+                pass
+        return ImageDataset(path, resolution=args.size, **kw)
+
     train_path = os.path.join(args.data_root, "_processed_train", args.data_path)
     test_path = os.path.join(args.data_root, "_processed_test", args.data_path)
     if args.n_sample_train == 10:
-        train_ds = ImageDataset(train_path, resolution=args.size)
+        train_ds = open_dataset(train_path)
     else:
         base = ImageDataset(test_path, resolution=args.size)
         few_shot_idx = np.random.choice(len(base), size=args.n_sample_train, replace=False)
@@ -162,7 +172,7 @@ def main(argv=None):
             os.path.join(args.output_path, f"{args.n_sample_train}-shot-index.txt"),
             few_shot_idx,
         )
-        train_ds = ImageDataset(test_path, resolution=args.size, indices=few_shot_idx)
+        train_ds = open_dataset(test_path, indices=few_shot_idx)
         print(f"Few-shot transfer with {few_shot_idx.size}-shot images")
 
     mesh = make_mesh(args.n_devices or None)

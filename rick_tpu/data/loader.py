@@ -119,9 +119,13 @@ def data_stream(
                 # dataset smaller than batch: sample with replacement
                 order = rng.integers(0, n, size=batch_size)
                 end = batch_size
+            decode_batch = getattr(dataset, "decode_batch", None)
             for s in range(0, end, batch_size):
                 idx = order[s : s + batch_size]
-                batch = np.stack([dataset.get(int(i), rng) for i in idx])
+                if decode_batch is not None:  # native C++ threaded decode
+                    batch = decode_batch(idx, rng)
+                else:
+                    batch = np.stack([dataset.get(int(i), rng) for i in idx])
                 if device_put is not None:
                     batch = device_put(batch)
                 while not stop.is_set():
