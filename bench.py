@@ -64,18 +64,24 @@ def main():
     jax.block_until_ready(state["g"])
     iter_s = (time.time() - t0) / NMEAS
 
-    # eval throughput: generation + inception activations
-    gen = jax.jit(lambda gp, z, k: generator_apply(gcfg, gp, [z], rng=k)[0])
+    # eval throughput: fused on-device generation -> inception activations
+    # (only (chunk, 2048) activations cross the host boundary)
+    from rick_tpu.metrics.inception import inception_pool3
+
     inc_params = inception_init()
-    z = jax.random.normal(jax.random.key(3), (50, 512))
-    imgs = gen(state["g_ema"], z, jax.random.key(4))
-    _ = get_activations(np.asarray(imgs), 50, inc_params)  # compile
+    GEN_B = 100
+
+    @jax.jit
+    def gen_acts(gp, incp, z, k):
+        imgs = generator_apply(gcfg, gp, [z], rng=k)[0]
+        return inception_pool3(incp, imgs)
+
+    z = jax.random.normal(jax.random.key(3), (GEN_B, 512))
+    np.asarray(gen_acts(state["g_ema"], inc_params, z, jax.random.key(4)))  # compile
     t0 = time.time()
-    N_EVAL_MEAS = 500
-    acts = []
-    for i in range(N_EVAL_MEAS // 50):
-        imgs = gen(state["g_ema"], z, jax.random.key(10 + i))
-        acts.append(get_activations(np.asarray(imgs), 50, inc_params))
+    N_EVAL_MEAS = 1000
+    for i in range(N_EVAL_MEAS // GEN_B):
+        np.asarray(gen_acts(state["g_ema"], inc_params, z, jax.random.key(10 + i)))
     eval_imgs_per_s = N_EVAL_MEAS / (time.time() - t0)
 
     # fisher round cost
@@ -86,10 +92,11 @@ def main():
         jax.random.key(7), batch=BATCH, fisher_quantile=40.0, prune_quantile=0.1,
     )
     t0 = time.time()
-    fisher_round(
+    masks = fisher_round(
         gcfg, dcfg, state["g_ema"], state["d_ema"], noises, reals5,
         jax.random.key(8), batch=BATCH, fisher_quantile=40.0, prune_quantile=0.1,
     )
+    jax.block_until_ready(masks)
     fisher_s = time.time() - t0
 
     n_fisher = (ITERS_TOTAL - WARMUP) // FISHER_FREQ + 1
