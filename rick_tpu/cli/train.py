@@ -116,6 +116,7 @@ def main(argv=None):
     )
     from rick_tpu.train.masks import merge_prune
     from rick_tpu.utils import save_image_grid
+    from rick_tpu.utils.logging import ProfilerHook, StatsLogger
 
     # ---- dirs (`:771-781`)
     args.output_path = os.path.join(args.output_root, args.exp)
@@ -260,9 +261,15 @@ def main(argv=None):
     best_fid = 1000.0
     t_start = time.time()
     log_every = 10
+    stats = StatsLogger(
+        args.output_path, use_wandb=args.wandb,
+        project=args.wandb_project_name, run_name=args.wandb_run_name,
+    )
+    profiler = ProfilerHook(args.profile_dir, start_iter=max(start_iter + 5, args.warmup_iter + 2))
     for i in range(start_iter, args.iter + 10 + 1):
         if i > args.iter + 10:
             break
+        profiler.step(i)
 
         # Fisher round (`:213-393`)
         if i >= args.warmup_iter and (i - args.warmup_iter) % args.fisher_freq == 0:
@@ -290,6 +297,7 @@ def main(argv=None):
 
         if i % log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}
+            stats.log(i, m)
             dt = time.time() - t_start
             print(
                 f"[{i}/{args.iter}] d: {m['d']:.4f}; g: {m['g']:.4f}; r1: {m['r1']:.4f}; "
@@ -316,6 +324,7 @@ def main(argv=None):
         if evaluator is not None and i % args.eval_in_training_freq == 0:
             score = evaluator.compute_inception_score(state["g_ema"])
             print(f"[{i}] FID: {score['fid']:.3f}", flush=True)
+            stats.log(i, {"fid": float(score["fid"])})
             if score["fid"] < best_fid:
                 best_fid = score["fid"]
                 _save_torch_ckpt(
@@ -329,6 +338,7 @@ def main(argv=None):
                 )
 
     train_loader.close()
+    stats.close()
     print(f"done in {time.time()-t_start:.1f}s; best FID {best_fid}")
 
 

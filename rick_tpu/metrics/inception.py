@@ -124,6 +124,9 @@ def inception_init(key=None, seed: int = 0) -> Dict[str, jnp.ndarray]:
     if key is None:
         key = jax.random.key(seed)
     params: Dict[str, jnp.ndarray] = {}
+    kfc, key = jax.random.split(key)
+    params["fc.weight"] = jax.random.normal(kfc, (1000, 2048), jnp.float32) * 0.02
+    params["fc.bias"] = jnp.zeros((1000,), jnp.float32)
     keys = jax.random.split(key, len(_CONVS))
     for kk, (name, i, o, k, s, p) in zip(keys, _CONVS):
         fan_in = i * k[0] * k[1]
@@ -150,6 +153,9 @@ def load_inception_params(path: str) -> Dict[str, jnp.ndarray]:
     for name in _SPEC:
         for suffix in ("conv.weight", "bn.weight", "bn.bias", "bn.running_mean", "bn.running_var"):
             key = f"{name}.{suffix}"
+            params[key] = jnp.asarray(np.asarray(sd[key], np.float32))
+    for key in ("fc.weight", "fc.bias"):
+        if key in sd:
             params[key] = jnp.asarray(np.asarray(sd[key], np.float32))
     return params
 
@@ -289,3 +295,12 @@ def inception_pool3(params, x, *, resize_input: bool = True, normalize_input: bo
     x = _block_e(params, "Mixed_7b", x)
     x = _block_e(params, "Mixed_7c", x)
     return jnp.mean(x, axis=(2, 3))  # adaptive avg pool to 1x1 -> (N, 2048)
+
+
+def inception_logits(params, x, *, resize_input: bool = True):
+    """1000-way logits (for the KL-based Inception Score,
+    `gan_training/metrics/inception_score.py:12-58`).  The reference feeds
+    generator-range images with no ImageNet renormalization
+    (transform_input=False and no wrapper) -- replicated."""
+    pooled = inception_pool3(params, x, resize_input=resize_input, normalize_input=False)
+    return pooled @ params["fc.weight"].T + params["fc.bias"]
