@@ -64,25 +64,24 @@ def main():
     jax.block_until_ready(state["g"])
     iter_s = (time.time() - t0) / NMEAS
 
-    # eval throughput: fused on-device generation -> inception activations
-    # (only (chunk, 2048) activations cross the host boundary)
-    from rick_tpu.metrics.inception import inception_pool3
+    # eval cost: the real Evaluator (single-dispatch scan over 5000 imgs)
+    from rick_tpu.metrics import Evaluator
 
-    inc_params = inception_init()
-    GEN_B = 100
-
-    @jax.jit
-    def gen_acts(gp, incp, z, k):
-        imgs = generator_apply(gcfg, gp, [z], rng=k)[0]
-        return inception_pool3(incp, imgs)
-
-    z = jax.random.normal(jax.random.key(3), (GEN_B, 512))
-    np.asarray(gen_acts(state["g_ema"], inc_params, z, jax.random.key(4)))  # compile
+    real_small = np.asarray(
+        jax.random.uniform(jax.random.key(9), (128, 3, SIZE, SIZE), minval=-1, maxval=1)
+    )
+    evaluator = Evaluator(
+        gcfg,
+        fid_real_samples=real_small,
+        inception_nsamples=EVAL_N,
+        batch_size=64,
+        inception_params=inception_init(),
+    )
+    evaluator.compute_inception_score(state["g_ema"])  # compile
     t0 = time.time()
-    N_EVAL_MEAS = 1000
-    for i in range(N_EVAL_MEAS // GEN_B):
-        np.asarray(gen_acts(state["g_ema"], inc_params, z, jax.random.key(10 + i)))
-    eval_imgs_per_s = N_EVAL_MEAS / (time.time() - t0)
+    evaluator.compute_inception_score(state["g_ema"])
+    evaluator.compute_inception_score(state["g_ema"])
+    eval_s = (time.time() - t0) / 2
 
     # fisher round cost
     noises = jax.random.normal(jax.random.key(5), (5, 512))
@@ -92,20 +91,17 @@ def main():
         jax.random.key(7), batch=BATCH, fisher_quantile=40.0, prune_quantile=0.1,
     )
     t0 = time.time()
-    masks = fisher_round(
-        gcfg, dcfg, state["g_ema"], state["d_ema"], noises, reals5,
-        jax.random.key(8), batch=BATCH, fisher_quantile=40.0, prune_quantile=0.1,
-    )
-    jax.block_until_ready(masks)
-    fisher_s = time.time() - t0
+    for j in range(3):
+        masks = fisher_round(
+            gcfg, dcfg, state["g_ema"], state["d_ema"], noises, reals5,
+            jax.random.key(8 + j), batch=BATCH, fisher_quantile=40.0, prune_quantile=0.1,
+        )
+    jax.block_until_ready(jax.tree_util.tree_leaves(masks))
+    fisher_s = (time.time() - t0) / 3
 
     n_fisher = (ITERS_TOTAL - WARMUP) // FISHER_FREQ + 1
     n_evals = ITERS_TOTAL // EVAL_FREQ + 1
-    projected_s = (
-        ITERS_TOTAL * iter_s
-        + n_fisher * fisher_s
-        + n_evals * (EVAL_N / eval_imgs_per_s)
-    )
+    projected_s = ITERS_TOTAL * iter_s + n_fisher * fisher_s + n_evals * eval_s
     projected_min = projected_s / 60.0
 
     print(
@@ -117,7 +113,7 @@ def main():
                 "vs_baseline": round(15.0 / projected_min, 3),
                 "detail": {
                     "train_iter_ms": round(iter_s * 1000, 1),
-                    "eval_imgs_per_s": round(eval_imgs_per_s, 1),
+                    "fid5k_eval_s": round(eval_s, 2),
                     "fisher_round_s": round(fisher_s, 2),
                 },
             }

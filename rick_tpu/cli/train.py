@@ -260,7 +260,7 @@ def main(argv=None):
     rng = jax.random.key(args.seed + 7)
     best_fid = 1000.0
     t_start = time.time()
-    log_every = 10
+    log_every = 50
     stats = StatsLogger(
         args.output_path, use_wandb=args.wandb,
         project=args.wandb_project_name, run_name=args.wandb_run_name,
@@ -296,7 +296,8 @@ def main(argv=None):
         state, metrics = run_iteration(phases, state, real, kstep, i, tcfg)
 
         if i % log_every == 0:
-            m = {k: float(v) for k, v in metrics.items()}
+            # ONE host sync for the whole metrics dict (high-latency link)
+            m = {k: float(v) for k, v in jax.device_get(metrics).items()}
             stats.log(i, m)
             dt = time.time() - t_start
             print(

@@ -4,28 +4,49 @@ Protocol parity: `inception_nsamples` images from fresh N(0,1) latents through
 the EMA generator; FID (always), KID (first 2000), precision/recall on demand
 against the cached real set.
 
-TPU-native design (vs the reference's generate -> host numpy -> re-upload
-loop, `eval.py:34-50`): generation and InceptionV3 pool3 feature extraction
-are ONE jitted function, so only (chunk, 2048) activations ever leave the
-device -- the 5000 generated images never cross the host boundary.  Real-set
-activations are computed once at construction and cached (the reference
-recomputes them every eval; same numbers, strictly less work).
+TPU-native design: the environment's host<->device link has high per-dispatch
+latency, so the ENTIRE eval is one compiled program -- a `lax.scan` over
+generation chunks computing InceptionV3 pool3 activations and accumulating
+mean/covariance (and optionally the raw activations for KID / VGG features for
+P&R) on device.  Exactly one small host transfer happens per eval; the 5000
+generated images never leave the device.  Real-set statistics are computed
+once at construction (the reference recomputes them every eval -- same
+numbers, strictly less work).
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rick_tpu.metrics.fid import calculate_frechet_distance, get_activations
+from rick_tpu.metrics.fid import (
+    calculate_frechet_distance,
+    calculate_frechet_distance_device,
+    get_activations,
+)
 from rick_tpu.metrics.inception import default_inception_params, inception_pool3
-from rick_tpu.metrics.kid import polynomial_mmd_averages
-from rick_tpu.metrics.precision_recall import IPR
+from rick_tpu.metrics.precision_recall import (
+    IPR,
+    Manifold,
+    compute_metric,
+    distances2radii,
+)
 from rick_tpu.metrics.vgg import vgg16_fc2_features
 from rick_tpu.nn.generator import generator_apply
+
+
+def _stats_from_acts(acts):
+    """(n, d) activations -> (mu, cov) with np.cov semantics (ddof=1)."""
+    n = acts.shape[0]
+    acts64 = acts.astype(jnp.float32)
+    mu = jnp.mean(acts64, axis=0)
+    xc = acts64 - mu
+    cov = (xc.T @ xc) / (n - 1)
+    return mu, cov
 
 
 class Evaluator:
@@ -49,44 +70,98 @@ class Evaluator:
         self.batch_size = batch_size
         self.n_sample_store = n_sample_store
         self.latent = latent
-        self.gen_batch = min(gen_batch, inception_nsamples)
+        # chunk size dividing n evenly
+        gen_batch = min(gen_batch, inception_nsamples)
+        while inception_nsamples % gen_batch != 0:
+            gen_batch -= 1
+        self.gen_batch = gen_batch
+        self.n_chunks = inception_nsamples // gen_batch
         self.inception_params = (
             inception_params if inception_params is not None else default_inception_params()
         )
         self._key = jax.random.key(seed)
         self.ipr = IPR(batch_size, k=3, num_samples=inception_nsamples) if compute_pr else None
+        self._compute_pr = compute_pr
 
-        # fused generator -> pool3 activations (images never leave the device)
-        def gen_acts(gp, incp, z, k):
-            imgs, _ = generator_apply(gcfg, gp, [z], rng=k)
+        gb, nc, lat = self.gen_batch, self.n_chunks, self.latent
+
+        def gen_chunk_acts(gp, incp, k):
+            kz, kn = jax.random.split(k)
+            z = jax.random.normal(kz, (gb, lat))
+            imgs, _ = generator_apply(gcfg, gp, [z], rng=kn)
             return inception_pool3(incp, imgs)
 
-        self._gen_acts = jax.jit(gen_acts)
-        self._gen = jax.jit(lambda gp, z, k: generator_apply(gcfg, gp, [z], rng=k)[0])
+        def eval_scan(gp, incp, key, want_acts: bool):
+            keys = jax.random.split(key, nc)
+
+            def body(_, k):
+                acts = gen_chunk_acts(gp, incp, k)
+                return None, acts
+
+            _, acts = jax.lax.scan(body, None, keys)  # (nc, gb, 2048)
+            acts = acts.reshape(nc * gb, -1)
+            mu, cov = _stats_from_acts(acts)
+            if want_acts:
+                return mu, cov, acts[:2000]
+            return mu, cov
+
+        self._eval_stats = jax.jit(functools.partial(eval_scan, want_acts=False))
+        self._eval_stats_acts = jax.jit(functools.partial(eval_scan, want_acts=True))
+
+        # device-side KID subsets (`gan_metrics/kid_score.py:255-263`:
+        # polynomial kernel, unbiased estimator, subsets of size <=1000)
+        def kid_device(real_acts, fake_acts, key, n_subsets, subset_size):
+            d = real_acts.shape[1]
+
+            def one(k):
+                k1, k2 = jax.random.split(k)
+                gi = jax.random.choice(k1, real_acts.shape[0], (subset_size,), replace=False)
+                ri = jax.random.choice(k2, fake_acts.shape[0], (subset_size,), replace=False)
+                g = real_acts[gi]
+                r = fake_acts[ri]
+                kxx = (g @ g.T / d + 1.0) ** 3
+                kyy = (r @ r.T / d + 1.0) ** 3
+                kxy = (g @ r.T / d + 1.0) ** 3
+                m = subset_size
+                diag_x = jnp.diagonal(kxx)
+                diag_y = jnp.diagonal(kyy)
+                mmd = (kxx.sum() - diag_x.sum() + kyy.sum() - diag_y.sum()) / (m * (m - 1)) \
+                    - 2.0 * kxy.sum() / (m * m)
+                return mmd
+
+            keys = jax.random.split(key, n_subsets)
+            return jax.vmap(one)(keys)
+
+        self._kid_device = jax.jit(kid_device, static_argnums=(3, 4))
+
+        # VGG features for precision/recall, same scan structure
         if compute_pr:
-            def gen_vgg(gp, vp, z, k):
-                imgs, _ = generator_apply(gcfg, gp, [z], rng=k)
-                return vgg16_fc2_features(vp, imgs)
+            def vgg_scan(gp, vp, key):
+                keys = jax.random.split(key, nc)
 
-            self._gen_vgg = jax.jit(gen_vgg)
+                def body(_, k):
+                    kz, kn = jax.random.split(k)
+                    z = jax.random.normal(kz, (gb, lat))
+                    imgs, _ = generator_apply(gcfg, gp, [z], rng=kn)
+                    return None, vgg16_fc2_features(vp, imgs)
 
-        # real-set activations cached once
+                _, feats = jax.lax.scan(body, None, keys)
+                return feats.reshape(nc * gb, -1)
+
+            self._vgg_scan = jax.jit(vgg_scan)
+
+        # real-set activations: one-time chunked pass, stats on device
         self._real_acts = get_activations(self.real, batch_size, self.inception_params)
+        self._real_mu_dev, self._real_cov_dev = jax.jit(_stats_from_acts)(
+            jnp.asarray(self._real_acts, jnp.float32)
+        )
+        self._real_acts_dev = jnp.asarray(self._real_acts, jnp.float32)
+
+        self._gen = jax.jit(lambda gp, z, k: generator_apply(gcfg, gp, [z], rng=k)[0])
 
     # ------------------------------------------------------------------
-    def _fake_activations(self, g_ema, n: int) -> np.ndarray:
-        outs = []
-        got = 0
-        while got < n:
-            self._key, kz, kn = jax.random.split(self._key, 3)
-            z = jax.random.normal(kz, (self.gen_batch, self.latent))
-            acts = self._gen_acts(g_ema, self.inception_params, z, kn)
-            outs.append(np.asarray(acts, np.float64))
-            got += acts.shape[0]
-        return np.concatenate(outs, axis=0)[:n]
-
     def generate(self, g_ema, n: Optional[int] = None) -> np.ndarray:
-        """Generated images on host (for grids / interop), chunked like the
+        """Generated images on host (grids / interop), chunked like the
         reference (`eval.py:34-41`)."""
         n = n or self.inception_nsamples
         outs = []
@@ -102,37 +177,41 @@ class Evaluator:
     def compute_inception_score(
         self, g_ema, *, fid: bool = True, kid: bool = False, pr: bool = False
     ) -> Dict[str, float]:
-        fake_acts = self._fake_activations(g_ema, self.inception_nsamples)
         score: Dict[str, float] = {}
-        if fid:
-            m1 = self._real_acts.mean(axis=0)
-            s1 = np.cov(self._real_acts, rowvar=False)
-            m2 = fake_acts.mean(axis=0)
-            s2 = np.cov(fake_acts, rowvar=False)
-            score["fid"] = calculate_frechet_distance(m1, s1, m2, s2)
+        self._key, k = jax.random.split(self._key)
+
         if kid:
-            mmds, _ = polynomial_mmd_averages(
-                self._real_acts[:2000], fake_acts[:2000], n_subsets=100
+            mu, cov, fake_acts = self._eval_stats_acts(g_ema, self.inception_params, k)
+            self._key, kk = jax.random.split(self._key)
+            subset = min(1000, min(2000, self._real_acts_dev.shape[0]))
+            mmds = self._kid_device(
+                self._real_acts_dev[:2000], fake_acts, kk, 100, subset
             )
-            score["kid"] = float(mmds.mean())
+            score["kid"] = float(np.asarray(mmds).mean())
+        else:
+            mu, cov = self._eval_stats(g_ema, self.inception_params, k)
+
+        if fid:
+            import os
+
+            if os.environ.get("RICK_FID_HOST_SQRTM"):
+                score["fid"] = calculate_frechet_distance(
+                    np.asarray(self._real_mu_dev, np.float64),
+                    np.asarray(self._real_cov_dev, np.float64),
+                    np.asarray(mu, np.float64),
+                    np.asarray(cov, np.float64),
+                )
+            else:
+                score["fid"] = calculate_frechet_distance_device(
+                    self._real_mu_dev, self._real_cov_dev, mu, cov
+                )
+
         if pr:
+            assert self.ipr is not None
             self.ipr.compute_manifold_ref(self.real)
-            # generate a fresh VGG-feature set on device
-            feats = []
-            got = 0
-            while got < self.inception_nsamples:
-                self._key, kz, kn = jax.random.split(self._key, 3)
-                z = jax.random.normal(kz, (self.gen_batch, self.latent))
-                f = self._gen_vgg(g_ema, self.ipr.params, z, kn)
-                feats.append(np.asarray(f, np.float64))
-                got += f.shape[0]
-            feats = np.concatenate(feats)[: self.inception_nsamples]
-            from rick_tpu.metrics.precision_recall import (
-                Manifold,
-                compute_metric,
-                compute_pairwise_distances,
-                distances2radii,
-            )
+            self._key, kv = jax.random.split(self._key)
+            feats = np.asarray(self._vgg_scan(g_ema, self.ipr.params, kv), np.float64)
+            from rick_tpu.metrics.precision_recall import compute_pairwise_distances
 
             radii = distances2radii(compute_pairwise_distances(feats), k=self.ipr.k)
             manifold_subject = Manifold(feats, radii)

@@ -70,6 +70,34 @@ def calculate_frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6) -> float:
     )
 
 
+@jax.jit
+def _frechet_device(mu1, sigma1, mu2, sigma2):
+    """Frechet distance fully on device.
+
+    tr sqrtm(S1 S2) is computed via the symmetric reformulation
+    tr sqrt(A S2 A) with A = sqrtm(S1): two eigendecompositions of symmetric
+    PSD matrices (stable in f32 after clipping), avoiding the host Schur-based
+    scipy.linalg.sqrtm, which takes minutes for 2048x2048 on a small host."""
+    diff = mu1 - mu2
+    w1, v1 = jnp.linalg.eigh(sigma1)
+    a = (v1 * jnp.sqrt(jnp.clip(w1, 0.0, None))) @ v1.T  # sqrtm(S1)
+    m = a @ sigma2 @ a
+    w2 = jnp.linalg.eigvalsh((m + m.T) / 2.0)
+    tr_covmean = jnp.sum(jnp.sqrt(jnp.clip(w2, 0.0, None)))
+    return diff @ diff + jnp.trace(sigma1) + jnp.trace(sigma2) - 2.0 * tr_covmean
+
+
+def calculate_frechet_distance_device(mu1, sigma1, mu2, sigma2) -> float:
+    return float(
+        _frechet_device(
+            jnp.asarray(mu1, jnp.float32),
+            jnp.asarray(sigma1, jnp.float32),
+            jnp.asarray(mu2, jnp.float32),
+            jnp.asarray(sigma2, jnp.float32),
+        )
+    )
+
+
 def activation_statistics(images, batch_size=64, params=None):
     act = get_activations(images, batch_size, params)
     mu = np.mean(act, axis=0)
@@ -79,11 +107,16 @@ def activation_statistics(images, batch_size=64, params=None):
 
 def calculate_fid_given_images(imgs0, imgs1, batch_size: int = 64, params=None) -> float:
     """FID between two image sets, with the reference's batch-truncation
-    semantics (`fid_score.py:198-217`)."""
+    semantics (`fid_score.py:198-217`).  The trace-of-sqrtm runs on device
+    unless RICK_FID_HOST_SQRTM=1 selects the reference's scipy path."""
+    import os
+
     b0 = min(batch_size, imgs0.shape[0])
     b1 = min(batch_size, imgs1.shape[0])
     imgs0 = imgs0[: (imgs0.shape[0] // b0) * b0]
     imgs1 = imgs1[: (imgs1.shape[0] // b1) * b1]
     m1, s1 = activation_statistics(imgs0, b0, params)
     m2, s2 = activation_statistics(imgs1, b1, params)
-    return calculate_frechet_distance(m1, s1, m2, s2)
+    if os.environ.get("RICK_FID_HOST_SQRTM"):
+        return calculate_frechet_distance(m1, s1, m2, s2)
+    return calculate_frechet_distance_device(m1, s1, m2, s2)

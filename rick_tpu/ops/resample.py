@@ -69,24 +69,41 @@ def upfirdn2d_general(
             f"down=({down_y},{down_x}) pad=({pad_y0},{pad_y1},{pad_x0},{pad_x1}) k=({kh},{kw})"
         )
 
-    # Depthwise: collapse (N, C) into the batch dim, single 1-channel filter.
-    xr = x.reshape(n * c, 1, in_h, in_w)
-    # lax conv computes correlation; flipping the kernel yields true convolution,
-    # matching the reference (conv2d with flipped kernel, upfirdn2d.py:186-187).
-    w = jnp.flip(kernel, (0, 1)).astype(x.dtype)[None, None]
+    # lax conv computes correlation; flipping the kernel yields true
+    # convolution, matching the reference (conv2d with flipped kernel,
+    # upfirdn2d.py:186-187).  lhs_dilation produces (n-1)*up+1 samples;
+    # upfirdn's zero-insertion produces n*up (with up-1 trailing zeros), so
+    # those trailing zeros fold into the high padding.
+    kflip = jnp.flip(kernel, (0, 1)).astype(x.dtype)
+    padding = ((pad_y0, pad_y1 + up_y - 1), (pad_x0, pad_x1 + up_x - 1))
 
-    # lhs_dilation produces (n-1)*up+1 samples; upfirdn's zero-insertion
-    # produces n*up (with up-1 trailing zeros), so fold those trailing zeros
-    # into the high padding.
-    y = lax.conv_general_dilated(
-        xr,
+    # Two equivalent lowerings (both covered by the oracle tests):
+    #  * batch-collapse reshape: fastest backward on TPU, but the reshape
+    #    materializes a full activation copy -- prohibitive for huge
+    #    activations (8 GB at eval batch 250 x 128ch x 256^2);
+    #  * feature_group_count depthwise: no copy, slightly slower grads.
+    if n * c * in_h * in_w <= (1 << 27):
+        xr = x.reshape(n * c, 1, in_h, in_w)
+        y = lax.conv_general_dilated(
+            xr,
+            kflip[None, None],
+            window_strides=(down_y, down_x),
+            padding=padding,
+            lhs_dilation=(up_y, up_x),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+        return y.reshape(n, c, out_h, out_w)
+
+    w = jnp.broadcast_to(kflip[None, None], (c, 1, kh, kw))
+    return lax.conv_general_dilated(
+        x,
         w,
         window_strides=(down_y, down_x),
-        padding=((pad_y0, pad_y1 + up_y - 1), (pad_x0, pad_x1 + up_x - 1)),
+        padding=padding,
         lhs_dilation=(up_y, up_x),
+        feature_group_count=c,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )
-    return y.reshape(n, c, out_h, out_w)
 
 
 def upfirdn2d(x, kernel, up: int = 1, down: int = 1, pad=(0, 0)) -> jnp.ndarray:

@@ -215,22 +215,20 @@ def make_train_step(gcfg, dcfg, tcfg):
         }
         return new_state, path_val, jnp.mean(lengths)
 
-    def ema_phase(state):
+    def ema_phase(g_ema, d_ema, g, d):
+        # narrow signature: donating the full state here would round-trip the
+        # optimizer/mask buffers through HBM for no reason (~1 GB/iter)
         accum = tcfg.ema_accum
-        g_ema = jax.tree.map(
-            lambda e, p: accum * e + (1.0 - accum) * p, state["g_ema"], state["g"]
-        )
-        d_ema = jax.tree.map(
-            lambda e, p: accum * e + (1.0 - accum) * p, state["d_ema"], state["d"]
-        )
-        return {**state, "g_ema": g_ema, "d_ema": d_ema}
+        new_g_ema = jax.tree.map(lambda e, p: accum * e + (1.0 - accum) * p, g_ema, g)
+        new_d_ema = jax.tree.map(lambda e, p: accum * e + (1.0 - accum) * p, d_ema, d)
+        return new_g_ema, new_d_ema
 
     return {
         "d": jax.jit(d_phase, donate_argnums=(0,)),
         "r1": jax.jit(r1_phase, donate_argnums=(0,)),
         "g": jax.jit(g_phase, donate_argnums=(0,)),
         "path": jax.jit(path_phase, donate_argnums=(0,)),
-        "ema": jax.jit(ema_phase, donate_argnums=(0,)),
+        "ema": jax.jit(ema_phase, donate_argnums=(0, 1)),
     }
 
 
@@ -256,7 +254,9 @@ def run_iteration(phases, state, real_img, key, i: int, tcfg):
         metrics["path"] = path_val
         metrics["path_length"] = path_len
 
-    state = phases["ema"](state)
+    state["g_ema"], state["d_ema"] = phases["ema"](
+        state["g_ema"], state["d_ema"], state["g"], state["d"]
+    )
     metrics["mean_path_length"] = state["mean_path_length"]
     return state, metrics
 

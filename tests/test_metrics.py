@@ -126,3 +126,16 @@ def test_vgg16_fc2_shape():
     f = vgg16_fc2_features(params, x)
     assert f.shape == (2, 4096)
     assert np.isfinite(np.asarray(f)).all()
+
+
+def test_frechet_device_matches_scipy():
+    from rick_tpu.metrics.fid import calculate_frechet_distance_device
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((300, 64))
+    b = rng.standard_normal((300, 64)) * 1.5 + 0.3
+    mu1, s1 = a.mean(0), np.cov(a, rowvar=False)
+    mu2, s2 = b.mean(0), np.cov(b, rowvar=False)
+    ref = calculate_frechet_distance(mu1, s1, mu2, s2)
+    dev = calculate_frechet_distance_device(mu1, s1, mu2, s2)
+    np.testing.assert_allclose(dev, ref, rtol=1e-3)
