@@ -77,6 +77,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fisher_noise_dir", type=str, default="./_noise")
     p.add_argument("--ada_margin", type=int, default=64)
     p.add_argument("--resume", type=str, default="")
+    p.add_argument("--auto_resume", action="store_true",
+                   help="resume from the latest .state.npz in the checkpoint dir")
     p.add_argument("--n_devices", type=int, default=0, help="0 = all local devices")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--profile_dir", type=str, default="", help="enable jax profiler traces")
@@ -216,10 +218,17 @@ def main(argv=None):
     )
 
     start_iter = 0
-    if args.resume:
-        state, manifest = load_state(args.resume, state)
+    resume_path = args.resume
+    if not resume_path and args.auto_resume:
+        import glob
+
+        candidates = sorted(glob.glob(os.path.join(args.checkpoint_dir, "*.state.npz")))
+        if candidates:
+            resume_path = candidates[-1]
+    if resume_path:
+        state, manifest = load_state(resume_path, state)
         start_iter = int(manifest.get("step", 0))
-        print(f"resumed from {args.resume} at iter {start_iter}")
+        print(f"resumed from {resume_path} at iter {start_iter}")
 
     state = replicate(mesh, state)
     phases = make_train_step(gcfg, dcfg, tcfg)

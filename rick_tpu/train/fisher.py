@@ -50,14 +50,25 @@ def _get_accum_fn(gcfg, dcfg, n: int, denom: float):
     if key not in _ACCUM_CACHE:
 
         def accum(g_ema, d_ema, noises, reals, keys):
-            def one(z, real, k):
-                return _single_image_fims(
+            # sequential scan of batch-1 grads: each step costs one ordinary
+            # backward pass (a vmapped formulation lowers to pathologically
+            # slow batched conv-grads on TPU)
+            def body(carry, inp):
+                z, real, k = inp
+                sg, sd = _single_image_fims(
                     gcfg, dcfg, g_ema, d_ema, z[None], real[None], k
                 )
+                cg, cd = carry
+                return (
+                    jax.tree.map(jnp.add, cg, sg),
+                    jax.tree.map(jnp.add, cd, sd),
+                ), None
 
-            sg, sd = jax.vmap(one)(noises, reals, keys)
-            fim_g = jax.tree.map(lambda x: jnp.sum(x, axis=0) / denom, sg)
-            fim_d = jax.tree.map(lambda x: jnp.sum(x, axis=0) / denom, sd)
+            zero_g = jax.tree.map(jnp.zeros_like, g_ema)
+            zero_d = jax.tree.map(jnp.zeros_like, d_ema)
+            (sum_g, sum_d), _ = jax.lax.scan(body, (zero_g, zero_d), (noises, reals, keys))
+            fim_g = jax.tree.map(lambda x: x / denom, sum_g)
+            fim_d = jax.tree.map(lambda x: x / denom, sum_d)
             return fim_g, fim_d
 
         _ACCUM_CACHE[key] = jax.jit(accum)

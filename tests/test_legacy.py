@@ -89,3 +89,87 @@ def test_inception_score_runs():
     imgs = np.random.default_rng(0).uniform(-1, 1, (40, 3, 75, 75)).astype(np.float32)
     mean, std = inception_score(imgs, batch_size=8, splits=2, resize=True, params=inception_init())
     assert mean > 0 and np.isfinite(mean) and np.isfinite(std)
+
+
+def test_film_decompose_compose_roundtrip():
+    from rick_tpu.legacy.film import (
+        compose_film_generator,
+        decompose_film_generator,
+        strip_module_prefix,
+    )
+
+    rng = np.random.default_rng(0)
+    sd = {
+        "style.1.weight": rng.standard_normal((8, 8)).astype(np.float32),
+        "convs.0.conv.weight": rng.standard_normal((1, 4, 3, 3, 3)).astype(np.float32),
+        "to_rgbs.0.conv.modulation.weight": rng.standard_normal((4, 8)).astype(np.float32),
+        "other.bias": rng.standard_normal(4).astype(np.float32),
+    }
+    norm, film = decompose_film_generator(sd)
+    # normalized weights have ~zero mean / unit std along the decomposed axes
+    w = norm["style.1.weight"]
+    np.testing.assert_allclose(w.mean(axis=1), 0.0, atol=1e-5)
+    np.testing.assert_allclose(w.std(axis=1), 1.0, rtol=1e-4)
+    back = compose_film_generator(norm, film)
+    np.testing.assert_allclose(back["style.1.weight"], sd["style.1.weight"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(back["convs.0.conv.weight"], sd["convs.0.conv.weight"], rtol=1e-4, atol=1e-5)
+
+    stripped = strip_module_prefix({"module.a.b": 1, "c": 2})
+    assert stripped == {"a.b": 1, "c": 2}
+
+
+def test_lpips_identity_and_symmetry():
+    from rick_tpu.metrics.lpips import lpips_distance
+    from rick_tpu.metrics.vgg import vgg16_init
+
+    vgg = vgg16_init(seed=0)
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.uniform(-1, 1, (2, 3, 64, 64)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(-1, 1, (2, 3, 64, 64)).astype(np.float32))
+    d_aa = lpips_distance(a, a, vgg_params=vgg)
+    d_ab = lpips_distance(a, b, vgg_params=vgg)
+    d_ba = lpips_distance(b, a, vgg_params=vgg)
+    np.testing.assert_allclose(np.asarray(d_aa), 0.0, atol=1e-6)
+    assert (np.asarray(d_ab) > 0).all()
+    np.testing.assert_allclose(np.asarray(d_ab), np.asarray(d_ba), rtol=1e-5)
+
+
+def test_intra_lpips_clusters():
+    from rick_tpu.metrics.intra_lpips import IntraLPIPS
+
+    rng = np.random.default_rng(0)
+    # two very distinct "clusters": dark images and bright images
+    centers = np.stack([
+        np.full((3, 32, 32), -0.8, np.float32),
+        np.full((3, 32, 32), 0.8, np.float32),
+    ])
+    dark = rng.uniform(-1.0, -0.6, (6, 3, 32, 32)).astype(np.float32)
+    bright = rng.uniform(0.6, 1.0, (6, 3, 32, 32)).astype(np.float32)
+    imgs = np.concatenate([dark, bright])
+    il = IntraLPIPS(centers, batch=4)
+    labels = il.assign(imgs)
+    assert (labels[:6] == labels[0]).all() and (labels[6:] == labels[6]).all()
+    assert labels[0] != labels[6]
+    val = il.compute(imgs)
+    assert np.isfinite(val)
+
+
+def test_get_dataset_image_and_npy(tmp_path):
+    from PIL import Image
+
+    from rick_tpu.legacy.inputs import get_dataset
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)).save(d / f"{i}.png")
+    ds = get_dataset("image", str(d), size=32)
+    assert len(ds) == 3
+    assert ds.get(0, rng).shape == (3, 32, 32)
+
+    arr = rng.uniform(-1, 1, (5, 3, 16, 16)).astype(np.float32)
+    np.save(tmp_path / "x.npy", arr)
+    ds2 = get_dataset("npy", str(tmp_path / "x.npy"), size=16)
+    assert len(ds2) == 5
+    assert ds2.get(1, rng).shape == (3, 16, 16)
