@@ -19,11 +19,13 @@ property "d2y/dx2 == 0" that the reference encodes as its grad=2 kernel case
 from __future__ import annotations
 
 import math
+import os
 
 import jax.numpy as jnp
 
 
 _SQRT2 = math.sqrt(2.0)
+_USE_PALLAS = os.environ.get("RICK_PALLAS", "") == "1"
 
 
 def fused_leaky_relu(x, bias=None, negative_slope: float = 0.2, scale: float = _SQRT2):
@@ -31,8 +33,13 @@ def fused_leaky_relu(x, bias=None, negative_slope: float = 0.2, scale: float = _
 
     For 2-D inputs (N, C) the bias applies to the last dim; for N-D inputs the
     bias applies to dim 1 and broadcasts over trailing spatial dims, matching
-    the reference's channel-dim convention.
+    the reference's channel-dim convention.  RICK_PALLAS=1 routes through the
+    explicit Pallas kernel (`ops/pallas_kernels.py`).
     """
+    if _USE_PALLAS and bias is not None:
+        from rick_tpu.ops.pallas_kernels import fused_bias_act_pallas
+
+        return fused_bias_act_pallas(x, bias, negative_slope, scale)
     if bias is not None:
         if x.ndim == 2:
             b = bias.reshape(1, -1)
