@@ -94,6 +94,15 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: repeated invocations (incl. --resume) skip
+    # the multi-minute phase compiles.  Opt out with RICK_NO_XLA_CACHE=1.
+    if not os.environ.get("RICK_NO_XLA_CACHE"):
+        cache_dir = os.environ.get(
+            "RICK_XLA_CACHE_DIR", os.path.expanduser("~/.cache/rick_tpu_xla")
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from rick_tpu.ckpt import (
         discriminator_params_from_state_dict,
         discriminator_state_dict_from_params,
