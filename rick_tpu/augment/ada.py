@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rick_tpu.ops import upfirdn2d
+from rick_tpu.ops.resample import upfirdn2d_separable
 
 # sym6 wavelet taps (`non_leaking.py:9-22`)
 SYM6 = (
@@ -295,8 +296,7 @@ def apply_affine(img, G, *, margin: int = 64, antialiasing_kernel=SYM6):
     reference's retry loop.
     """
     kernel_1d = jnp.asarray(antialiasing_kernel, jnp.float32)
-    kernel = jnp.outer(kernel_1d, kernel_1d)
-    kernel_flip = jnp.flip(kernel, (0, 1))
+    kernel_1d_flip = jnp.flip(kernel_1d)
     len_k = len(antialiasing_kernel)
     pad_k = (len_k + 1) // 2  # 6
 
@@ -305,7 +305,8 @@ def apply_affine(img, G, *, margin: int = 64, antialiasing_kernel=SYM6):
 
     # physically build the reference's padded image: reflect pad by M + pad_k
     img_pad = _reflect101_pad(img, M + pad_k)
-    img_2x = upfirdn2d(img_pad, kernel_flip, up=2)
+    # separable: outer(flip k, flip k) == flip2d(outer(k, k))
+    img_2x = upfirdn2d_separable(img_pad, kernel_1d_flip, up=2)
     H2, W2 = img_2x.shape[2], img_2x.shape[3]  # 2*(h_o+2M+2*pad_k) - (len_k-1)
 
     w_p = w_o + 2 * M + 1
@@ -337,7 +338,7 @@ def apply_affine(img, G, *, margin: int = 64, antialiasing_kernel=SYM6):
 
     img_affine = jax.vmap(warp_one)(img_2x, G_inv)  # (B,C,H2,W2)
 
-    img_down = upfirdn2d(img_affine, kernel, down=2)  # (B,C,h_o+2M+1,w_o+2M+1)
+    img_down = upfirdn2d_separable(img_affine, kernel_1d, down=2)  # (B,C,h_o+2M+1,w_o+2M+1)
     out = img_down[:, :, M : M + h_o, M : M + w_o]
     return out
 

@@ -76,6 +76,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sample_noise", type=str, default="./noise.pt")
     p.add_argument("--fisher_noise_dir", type=str, default="./_noise")
     p.add_argument("--ada_margin", type=int, default=64)
+    p.add_argument("--eval_bf16", action="store_true",
+                   help="bfloat16 InceptionV3 feature extraction during eval")
     p.add_argument("--resume", type=str, default="")
     p.add_argument("--auto_resume", action="store_true",
                    help="resume from the latest .state.npz in the checkpoint dir")
@@ -253,6 +255,7 @@ def main(argv=None):
             inception_nsamples=args.n_sample_test,
             batch_size=max(args.batch, 25),
             n_sample_store=args.n_sample_store,
+            inception_dtype=jnp.bfloat16 if args.eval_bf16 else jnp.float32,
         )
         x_real = get_nsamples(train_ds, 10)
         save_image_grid(x_real, os.path.join(args.output_path, "real.png"), nrow=5)

@@ -62,6 +62,7 @@ class Evaluator:
         compute_pr: bool = False,
         inception_params=None,
         gen_batch: int = 100,
+        inception_dtype=jnp.float32,
         seed: int = 0,
     ):
         self.gcfg = gcfg
@@ -85,11 +86,17 @@ class Evaluator:
 
         gb, nc, lat = self.gen_batch, self.n_chunks, self.latent
 
+        inc_dtype = inception_dtype
+
         def gen_chunk_acts(gp, incp, k):
             kz, kn = jax.random.split(k)
             z = jax.random.normal(kz, (gb, lat))
             imgs, _ = generator_apply(gcfg, gp, [z], rng=kn)
-            return inception_pool3(incp, imgs)
+            # feature extraction optionally in bf16 (generation stays f32)
+            if inc_dtype != jnp.float32:
+                incp = jax.tree.map(lambda a: a.astype(inc_dtype), incp)
+                imgs = imgs.astype(inc_dtype)
+            return inception_pool3(incp, imgs).astype(jnp.float32)
 
         def eval_scan(gp, incp, key, want_acts: bool):
             keys = jax.random.split(key, nc)

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from rick_tpu.ops import blur, fused_leaky_relu, upfirdn2d, make_kernel
+from rick_tpu.ops import blur, fused_leaky_relu, make_kernel, upfirdn2d, upsample2d
 
 
 def pixel_norm(x: jnp.ndarray) -> jnp.ndarray:
@@ -214,11 +214,7 @@ def to_rgb_apply(params, x, style, skip=None, *, blur_kernel=(1, 3, 3, 1)):
     out = modulated_conv2d_apply(params["conv"], x, style, demodulate=False)
     out = out + params["bias"].astype(out.dtype)
     if skip is not None:
-        k = make_kernel(jnp.asarray(blur_kernel, jnp.float32)) * 4
-        p = k.shape[0] - 2
-        pad0 = (p + 1) // 2 + 1
-        pad1 = p // 2
-        skip = upfirdn2d(skip, k, up=2, down=1, pad=(pad0, pad1))
+        skip = upsample2d(skip, jnp.asarray(blur_kernel, jnp.float32), factor=2)
         out = out + skip
     return out
 

@@ -25,6 +25,7 @@ variant exists for fusion experiments (see `ops/resample_pallas.py`).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -113,9 +114,37 @@ def upfirdn2d(x, kernel, up: int = 1, down: int = 1, pad=(0, 0)) -> jnp.ndarray:
     )
 
 
+def upfirdn2d_separable(x, k1d, up: int = 1, down: int = 1, pad=(0, 0)) -> jnp.ndarray:
+    """upfirdn2d with a rank-1 kernel outer(k1d, k1d), as two 1-D passes.
+
+    Exactly equal to `upfirdn2d(x, outer(k1d, k1d), ...)` (the 2-D zero-insert /
+    pad / convolve / stride factorizes per axis for separable kernels) at
+    2K taps instead of K^2 -- all StyleGAN2 blur kernels and the ADA sym6
+    wavelet are separable."""
+    k = jnp.asarray(k1d, jnp.float32)
+    x = upfirdn2d_general(x, k[:, None], 1, up, 1, down, 0, 0, pad[0], pad[1])
+    return upfirdn2d_general(x, k[None, :], up, 1, down, 1, pad[0], pad[1], 0, 0)
+
+
+def _norm_1d(kernel) -> Optional[jnp.ndarray]:
+    """Normalized 1-D kernel if the spec is 1-D (the separable fast path);
+    None for explicit 2-D kernels."""
+    k = jnp.asarray(kernel, dtype=jnp.float32)
+    if k.ndim != 1:
+        return None
+    return k / jnp.sum(k)
+
+
 def upsample2d(x, kernel, factor: int = 2) -> jnp.ndarray:
     """Antialiased 2x (or `factor`x) upsample, mirror of `Upsample`
-    (`model_probe_tune.py:40-58`): kernel gain factor**2, pad so out = in*factor."""
+    (`model_probe_tune.py:40-58`): kernel gain factor**2, pad so out = in*factor.
+    1-D kernel specs take the separable two-pass path (2K taps vs K^2)."""
+    k1 = _norm_1d(kernel)
+    if k1 is not None:
+        p = k1.shape[0] - factor
+        pad0 = (p + 1) // 2 + factor - 1
+        pad1 = p // 2
+        return upfirdn2d_separable(x, k1 * factor, up=factor, down=1, pad=(pad0, pad1))
     kernel = make_kernel(kernel) * (factor**2)
     p = kernel.shape[0] - factor
     pad0 = (p + 1) // 2 + factor - 1
@@ -125,6 +154,12 @@ def upsample2d(x, kernel, factor: int = 2) -> jnp.ndarray:
 
 def downsample2d(x, kernel, factor: int = 2) -> jnp.ndarray:
     """Antialiased downsample, mirror of `Downsample` (`model_probe_tune.py:61-79`)."""
+    k1 = _norm_1d(kernel)
+    if k1 is not None:
+        p = k1.shape[0] - factor
+        pad0 = (p + 1) // 2
+        pad1 = p // 2
+        return upfirdn2d_separable(x, k1, up=1, down=factor, pad=(pad0, pad1))
     kernel = make_kernel(kernel)
     p = kernel.shape[0] - factor
     pad0 = (p + 1) // 2
@@ -136,7 +171,10 @@ def blur(x, kernel, pad, upsample_factor: int = 1) -> jnp.ndarray:
     """FIR blur, mirror of `Blur` (`model_probe_tune.py:82-98`).
 
     `kernel` is the raw 1-D/2-D spec; gain is upsample_factor**2 when the blur
-    follows a transposed conv."""
+    follows a transposed conv.  1-D specs use the separable path."""
+    k1 = _norm_1d(kernel)
+    if k1 is not None:
+        return upfirdn2d_separable(x, k1 * upsample_factor, pad=pad)
     kernel = make_kernel(kernel)
     if upsample_factor > 1:
         kernel = kernel * (upsample_factor**2)

@@ -146,3 +146,16 @@ def test_upfirdn2d_gradgrad_through_r1_style_loss():
     out = jax.grad(r1)(x)
     assert out.shape == x.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("updown", [(1, 1), (2, 1), (1, 2)])
+def test_upfirdn2d_separable_matches_2d(updown):
+    from rick_tpu.ops.resample import upfirdn2d_separable
+
+    up, down = updown
+    x = jnp.asarray(_rand((2, 3, 13, 11)))
+    k1 = jnp.asarray(_rand((4,), 5))
+    k2 = jnp.outer(k1, k1)
+    a = upfirdn2d_separable(x, k1, up=up, down=down, pad=(2, 1))
+    b = upfirdn2d(x, k2, up=up, down=down, pad=(2, 1))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
