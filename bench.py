@@ -86,10 +86,11 @@ def main():
     # fisher round cost
     noises = jax.random.normal(jax.random.key(5), (5, 512))
     reals5 = jax.random.normal(jax.random.key(6), (5, 3, SIZE, SIZE))
-    fisher_round(  # compile
+    warm = fisher_round(  # compile
         gcfg, dcfg, state["g_ema"], state["d_ema"], noises, reals5,
         jax.random.key(7), batch=BATCH, fisher_quantile=40.0, prune_quantile=0.1,
     )
+    jax.block_until_ready(jax.tree_util.tree_leaves(warm))  # drain the compile
     t0 = time.time()
     for j in range(3):
         masks = fisher_round(
