@@ -49,19 +49,22 @@ def main():
     rng = jax.random.key(1)
     real = jax.random.normal(jax.random.key(2), (BATCH, 3, SIZE, SIZE))
 
-    # warm up all phase compilations (i=0 triggers r1+path)
+    # warm up all phase compilations (i=0 triggers r1+path).
+    # NOTE: timings sync by fetching a VALUE -- block_until_ready returns
+    # before execution completes on this backend.
+    m = None
     for i in range(3):
         rng, k = jax.random.split(rng)
-        state, _ = run_iteration(phases, state, real, k, i, tcfg)
-    jax.block_until_ready(state["g"])
+        state, m = run_iteration(phases, state, real, k, i, tcfg)
+    float(m["d"])
 
-    # phase-mix measurement over one full 16-iter cycle x2
+    # phase-mix measurement over two full 16-iter cycles
     t0 = time.time()
     NMEAS = 32
     for i in range(NMEAS):
         rng, k = jax.random.split(rng)
-        state, _ = run_iteration(phases, state, real, k, i + 16, tcfg)
-    jax.block_until_ready(state["g"])
+        state, m = run_iteration(phases, state, real, k, i + 16, tcfg)
+    float(m["d"])
     iter_s = (time.time() - t0) / NMEAS
 
     # eval cost: the real Evaluator (single-dispatch scan over 5000 imgs)
@@ -86,18 +89,21 @@ def main():
     # fisher round cost
     noises = jax.random.normal(jax.random.key(5), (5, 512))
     reals5 = jax.random.normal(jax.random.key(6), (5, 3, SIZE, SIZE))
+    def _sync(tree):
+        return float(jax.tree_util.tree_leaves(tree)[0].ravel()[0])
+
     warm = fisher_round(  # compile
         gcfg, dcfg, state["g_ema"], state["d_ema"], noises, reals5,
         jax.random.key(7), batch=BATCH, fisher_quantile=40.0, prune_quantile=0.1,
     )
-    jax.block_until_ready(jax.tree_util.tree_leaves(warm))  # drain the compile
+    _sync(warm)  # drain the compile (value fetch = real sync)
     t0 = time.time()
     for j in range(3):
         masks = fisher_round(
             gcfg, dcfg, state["g_ema"], state["d_ema"], noises, reals5,
             jax.random.key(8 + j), batch=BATCH, fisher_quantile=40.0, prune_quantile=0.1,
         )
-    jax.block_until_ready(jax.tree_util.tree_leaves(masks))
+        _sync(masks)
     fisher_s = (time.time() - t0) / 3
 
     n_fisher = (ITERS_TOTAL - WARMUP) // FISHER_FREQ + 1

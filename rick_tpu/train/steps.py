@@ -93,8 +93,14 @@ def make_train_step(gcfg, dcfg, tcfg):
         fake = jax.lax.stop_gradient(fake)
 
         if tcfg.augment:
-            real_aug, _ = augment(keys[2], real_img, state["ada_p"], margin=tcfg.ada_margin)
-            fake_aug, _ = augment(keys[3], fake, state["ada_p"], margin=tcfg.ada_margin)
+            # one warp call for real+fake: per-image transforms are independent,
+            # so batching the two reference calls (`:403-405`) is semantically
+            # identical and halves the (gather-bound) warp cost
+            both, _ = augment(
+                keys[2], jnp.concatenate([real_img, fake], axis=0),
+                state["ada_p"], margin=tcfg.ada_margin,
+            )
+            real_aug, fake_aug = both[:batch], both[batch:]
         else:
             real_aug, fake_aug = real_img, fake
 
