@@ -86,6 +86,17 @@ def main():
     evaluator.compute_inception_score(state["g_ema"])
     eval_s = (time.time() - t0) / 2
 
+    # raw generation throughput (value-synced)
+    gen = jax.jit(lambda gp, z, k: generator_apply(gcfg, gp, [z], rng=k)[0])
+    zb = jax.random.normal(jax.random.key(4), (100, 512))
+    img = gen(state["g_ema"], zb, jax.random.key(0))
+    float(img.ravel()[0])
+    t0 = time.time()
+    for i in range(10):
+        img = gen(state["g_ema"], zb, jax.random.key(i))
+    float(img.ravel()[0])
+    gen_imgs_per_s = 100.0 / ((time.time() - t0) / 10)  # 100 imgs per call
+
     # fisher round cost
     noises = jax.random.normal(jax.random.key(5), (5, 512))
     reals5 = jax.random.normal(jax.random.key(6), (5, 3, SIZE, SIZE))
@@ -120,7 +131,9 @@ def main():
                 "vs_baseline": round(15.0 / projected_min, 3),
                 "detail": {
                     "train_iter_ms": round(iter_s * 1000, 1),
+                    "train_iters_per_s": round(1.0 / iter_s, 2),
                     "fid5k_eval_s": round(eval_s, 2),
+                    "gen_imgs_per_s_256px": round(gen_imgs_per_s, 0),
                     "fisher_round_s": round(fisher_s, 2),
                 },
             }
