@@ -1,0 +1,63 @@
+"""Multi-host runtime helpers.
+
+The reference's multi-process path is vestigial torch.distributed scaffolding
+(`distributed.py:9-126`, never initialized).  The TPU equivalent is the JAX
+multi-controller runtime: call `initialize_multihost()` once per process
+before any backend use; build the global mesh over `jax.devices()`; feed each
+process its own shard of the global batch (`process_batch_slice`)."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+
+
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> Tuple[int, int]:
+    """jax.distributed.initialize wrapper; returns (process_index, process_count).
+
+    With no arguments, relies on the TPU environment's automatic discovery.
+    Safe to call in single-process runs (no-op)."""
+    try:
+        if coordinator_address is not None:
+            jax.distributed.initialize(coordinator_address, num_processes, process_id)
+        elif num_processes is not None or process_id is not None:
+            jax.distributed.initialize(
+                num_processes=num_processes, process_id=process_id
+            )
+        else:
+            # auto-discovery only makes sense on actual multi-host slices
+            if jax.process_count() == 1:
+                pass
+    except RuntimeError:
+        pass  # already initialized
+    return jax.process_index(), jax.process_count()
+
+
+def process_batch_slice(global_batch: int) -> Tuple[int, int]:
+    """(start, size) of this process's slice of the global batch, matching a
+    batch-major NamedSharding over the 'data' mesh axis."""
+    pc = jax.process_count()
+    pi = jax.process_index()
+    if global_batch % pc != 0:
+        raise ValueError(f"global batch {global_batch} not divisible by {pc} processes")
+    per = global_batch // pc
+    return pi * per, per
+
+
+# The reference's collective helpers (`distributed.py:44-126`) map to in-jit
+# lax collectives under the data mesh; provided for API parity:
+
+
+def reduce_sum(x, axis_name: str = "data"):
+    """all_reduce SUM (`distributed.py:44-54`) -- inside shard_map/jit."""
+    return jax.lax.psum(x, axis_name)
+
+
+def reduce_mean(x, axis_name: str = "data"):
+    """gather_grad-style mean (`distributed.py:57-66`)."""
+    return jax.lax.pmean(x, axis_name)
