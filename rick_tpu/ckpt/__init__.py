@@ -13,6 +13,8 @@ from rick_tpu.ckpt.convert import (
     generator_state_dict_from_params,
     discriminator_params_from_state_dict,
     discriminator_state_dict_from_params,
+    g_optim_state_dict,
+    d_optim_state_dict,
 )
 
 __all__ = [
@@ -22,4 +24,6 @@ __all__ = [
     "generator_state_dict_from_params",
     "discriminator_params_from_state_dict",
     "discriminator_state_dict_from_params",
+    "g_optim_state_dict",
+    "d_optim_state_dict",
 ]

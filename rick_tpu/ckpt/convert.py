@@ -44,11 +44,24 @@ def _j(x):
 def merge_state_dict_lenient(full_sd: Dict, loaded_sd: Dict) -> Dict:
     """load_state_dict(strict=False) semantics: start from the model's own
     state dict and overwrite with whatever the checkpoint provides (unknown
-    checkpoint keys ignored, missing keys keep their init values)."""
+    checkpoint keys ignored, missing keys keep their init values).
+
+    Shape mismatches are skipped with a warning: torch raises on size
+    mismatch even with strict=False; silently adopting a wrong-shaped array
+    would fail later (or worse, not at all)."""
+    import warnings
+
     out = dict(full_sd)
     for k, v in loaded_sd.items():
-        if k in out:
-            out[k] = v
+        if k not in out:
+            continue
+        if np.shape(v) != np.shape(out[k]):
+            warnings.warn(
+                f"checkpoint key {k!r} has shape {np.shape(v)}, "
+                f"model expects {np.shape(out[k])}; skipped"
+            )
+            continue
+        out[k] = v
     return out
 
 
@@ -189,6 +202,100 @@ def discriminator_params_from_state_dict(cfg: DiscriminatorConfig, sd: Dict[str,
             },
         ],
     }
+
+
+# ---------------------------------------------------------------------------
+# torch.optim.Adam state_dict export (5-key checkpoint parity, `:644-659`)
+# ---------------------------------------------------------------------------
+
+
+def _adam_state_dict(entries, *, lr: float, betas) -> Dict:
+    """torch.optim.Adam.state_dict() layout (torch 1.12 defaults):
+    ``{state: {idx: {step, exp_avg, exp_avg_sq}}, param_groups: [...]}``.
+
+    `entries`: list of (exp_avg_sq ndarray in the torch param's shape,
+    step int), in the optimizer's param order.  Both reference optimizers use
+    beta1 = 0**reg_ratio = 0 (`train_dynamic_update_prune.py:913-931`), so
+    exp_avg is overwritten by the first resumed step (exp_avg = 0*old + grad)
+    and zeros round-trip losslessly.
+    """
+    state = {
+        i: {
+            "step": int(step),
+            "exp_avg": np.zeros_like(v),
+            "exp_avg_sq": v,
+        }
+        for i, (v, step) in enumerate(entries)
+    }
+    return {
+        "state": state,
+        "param_groups": [
+            {
+                "lr": float(lr),
+                "betas": (float(betas[0]), float(betas[1])),
+                "eps": 1e-08,
+                "weight_decay": 0,
+                "amsgrad": False,
+                "maximize": False,
+                "foreach": None,
+                "capturable": False,
+                "params": list(range(len(entries))),
+            }
+        ],
+    }
+
+
+def g_optim_state_dict(cfg: GeneratorConfig, g_opt, *, lr: float, betas) -> Dict:
+    """Export our per-leaf Adam state as the reference g_optim state dict.
+
+    Param order = G named_parameters with 'convs' in the name
+    (`train_dynamic_update_prune.py:908-917`), i.e. per StyledConv:
+    conv.weight (5-D on the torch side), conv.modulation.weight/.bias,
+    noise.weight (shape (1,)), activate.bias.
+    """
+    v_t, c_t = g_opt["v"], g_opt["count"]
+    entries = []
+    for i in range(2 * (cfg.log_size - 2)):
+        v, c = v_t["convs"][i], c_t["convs"][i]
+        entries += [
+            (_n(v["conv"]["weight"])[None], int(c["conv"]["weight"])),
+            (_n(v["conv"]["modulation"]["weight"]), int(c["conv"]["modulation"]["weight"])),
+            (_n(v["conv"]["modulation"]["bias"]), int(c["conv"]["modulation"]["bias"])),
+            (_n(v["noise_weight"]).reshape(1), int(c["noise_weight"])),
+            (_n(v["act_bias"]), int(c["act_bias"])),
+        ]
+    return _adam_state_dict(entries, lr=lr, betas=betas)
+
+
+def d_optim_state_dict(cfg: DiscriminatorConfig, d_opt, *, lr: float, betas) -> Dict:
+    """Export our per-leaf Adam state as the reference d_optim state dict.
+
+    Param order = D named_parameters with ('convs' in name and 'convs.0' not
+    in name) or 'final' in name (`train_dynamic_update_prune.py:920-931`):
+    per ResBlock conv1.0.weight, conv1.1.bias, conv2.1.weight, conv2.2.bias,
+    skip.1.weight; then final_conv and final_linear.
+    """
+    v_t, c_t = d_opt["v"], d_opt["count"]
+    entries = []
+    for b in range(1, cfg.log_size - 1):
+        v, c = v_t["convs"][b], c_t["convs"][b]
+        entries += [
+            (_n(v["conv1"]["weight"]), int(c["conv1"]["weight"])),
+            (_n(v["conv1"]["act_bias"]), int(c["conv1"]["act_bias"])),
+            (_n(v["conv2"]["weight"]), int(c["conv2"]["weight"])),
+            (_n(v["conv2"]["act_bias"]), int(c["conv2"]["act_bias"])),
+            (_n(v["skip"]["weight"]), int(c["skip"]["weight"])),
+        ]
+    entries += [
+        (_n(v_t["final_conv"]["weight"]), int(c_t["final_conv"]["weight"])),
+        (_n(v_t["final_conv"]["act_bias"]), int(c_t["final_conv"]["act_bias"])),
+    ]
+    for i in range(2):
+        entries += [
+            (_n(v_t["final_linear"][i]["weight"]), int(c_t["final_linear"][i]["weight"])),
+            (_n(v_t["final_linear"][i]["bias"]), int(c_t["final_linear"][i]["bias"])),
+        ]
+    return _adam_state_dict(entries, lr=lr, betas=betas)
 
 
 def discriminator_state_dict_from_params(cfg: DiscriminatorConfig, params) -> Dict[str, np.ndarray]:

@@ -119,3 +119,96 @@ def test_full_rick_checkpoint_roundtrip(tmp_path):
     img1, _ = generator_apply(gcfg, gp, [z])
     img2, _ = generator_apply(gcfg, g2, [z])
     np.testing.assert_allclose(np.asarray(img1), np.asarray(img2), rtol=1e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# 5-key checkpoint parity: torch-side resumable optimizers (`:644-659`)
+# ---------------------------------------------------------------------------
+
+
+def _torch_adam_from_saved(sd_model, optim_sd, key_filter):
+    """Rebuild the reference-side optimizer: params in named_parameters order
+    (our state dicts emit keys in exactly that order), then load our exported
+    Adam state dict into a REAL torch.optim.Adam."""
+    keys = [k for k in sd_model.keys() if key_filter(k)]
+    params = [torch.nn.Parameter(torch.as_tensor(np.asarray(sd_model[k]))) for k in keys]
+    pg = optim_sd["param_groups"][0]
+    opt = torch.optim.Adam(params, lr=pg["lr"], betas=tuple(pg["betas"]))
+    opt.load_state_dict(optim_sd)
+    return keys, params, opt
+
+
+def test_five_key_checkpoint_torch_resumable(tmp_path):
+    """Save {g_ema, g, d, g_optim, d_optim}; torch must read all 5 keys and a
+    real torch.optim.Adam must accept and step from the optimizer states."""
+    from rick_tpu.ckpt import d_optim_state_dict, g_optim_state_dict
+    from rick_tpu.train.adam import adam_init
+
+    gcfg = GeneratorConfig(size=16)
+    dcfg = DiscriminatorConfig(size=16)
+    gp = generator_init(jax.random.key(0), gcfg)
+    dp = discriminator_init(jax.random.key(1), dcfg)
+    # nonzero optimizer state so the round-trip is meaningful
+    g_opt = adam_init(gp)
+    d_opt = adam_init(dp)
+    g_opt["v"] = jax.tree.map(lambda x: jnp.abs(x) * 0 + 0.25, g_opt["v"])
+    g_opt["count"] = jax.tree.map(lambda c: c + 3.0, g_opt["count"])
+    d_opt["v"] = jax.tree.map(lambda x: x * 0 + 0.5, d_opt["v"])
+    d_opt["count"] = jax.tree.map(lambda c: c + 7.0, d_opt["count"])
+
+    g_lr, g_b2 = 0.002 * 0.8, 0.99**0.8
+    d_lr, d_b2 = 0.002 * (16 / 17), 0.99 ** (16 / 17)
+    ckpt = {
+        "g_ema": generator_state_dict_from_params(gcfg, gp),
+        "g": generator_state_dict_from_params(gcfg, gp),
+        "d": discriminator_state_dict_from_params(dcfg, dp),
+        "g_optim": g_optim_state_dict(gcfg, jax.device_get(g_opt), lr=g_lr, betas=(0.0, g_b2)),
+        "d_optim": d_optim_state_dict(dcfg, jax.device_get(d_opt), lr=d_lr, betas=(0.0, d_b2)),
+    }
+    p = str(tmp_path / "five.pt")
+    save_torch_file(ckpt, p)
+    back = torch.load(p)
+    assert set(back.keys()) == {"g_ema", "g", "d", "g_optim", "d_optim"}
+
+    # ---- G optimizer: params with 'convs' in name (`:908-917`)
+    keys, params, opt = _torch_adam_from_saved(
+        back["g"], back["g_optim"], lambda k: "convs" in k
+    )
+    assert len(keys) == 5 * 2 * (gcfg.log_size - 2)
+    st = opt.state_dict()["state"]
+    for i, prm in enumerate(params):
+        assert tuple(st[i]["exp_avg_sq"].shape) == tuple(prm.shape), keys[i]
+        assert int(st[i]["step"]) == 3
+        assert torch.allclose(st[i]["exp_avg_sq"], torch.full_like(prm, 0.25))
+    # the loaded optimizer must actually step
+    loss = sum((q**2).sum() for q in params)
+    loss.backward()
+    opt.step()
+    assert int(opt.state_dict()["state"][0]["step"]) == 4
+
+    # ---- D optimizer: ('convs' and not 'convs.0') or 'final' (`:920-931`)
+    keys_d, params_d, opt_d = _torch_adam_from_saved(
+        back["d"], back["d_optim"],
+        lambda k: ("convs" in k and "convs.0" not in k) or "final" in k,
+    )
+    n_blocks = dcfg.log_size - 2
+    assert len(keys_d) == 5 * n_blocks + 2 + 4
+    st_d = opt_d.state_dict()["state"]
+    for i, prm in enumerate(params_d):
+        assert tuple(st_d[i]["exp_avg_sq"].shape) == tuple(prm.shape), keys_d[i]
+        assert int(st_d[i]["step"]) == 7
+    loss = sum((q**2).sum() for q in params_d)
+    loss.backward()
+    opt_d.step()
+
+
+def test_merge_state_dict_lenient_shape_guard():
+    from rick_tpu.ckpt.convert import merge_state_dict_lenient
+
+    full = {"a": np.zeros((2, 2), np.float32), "b": np.zeros((3,), np.float32)}
+    loaded = {"a": np.ones((2, 2), np.float32), "b": np.ones((4,), np.float32), "c": 5}
+    with pytest.warns(UserWarning, match="shape"):
+        out = merge_state_dict_lenient(full, loaded)
+    np.testing.assert_array_equal(out["a"], np.ones((2, 2)))
+    np.testing.assert_array_equal(out["b"], np.zeros((3,)))  # mismatch skipped
+    assert "c" not in out
