@@ -8,17 +8,25 @@ the sym6 wavelet, bilinear grid_sample, 2x-downsample, crop.
 
 TPU-native reformulation (static shapes, no retry):
 
-  * The reference output is invariant to the pad size -- padding only supplies
-    sampling area; grid construction, renormalization and final crop cancel it
-    exactly.  We therefore fix a STATIC virtual margin M and mirror the
-    reference's coordinate formulas with pad == M.
-  * The image is physically reflect-padded only by pad_k = 6 (the sym6 filter
-    support); sample coordinates beyond that are folded back by coordinate
-    reflection inside the bilinear sampler.  For transforms whose true dynamic
-    pad fits inside the physical pad this is bit-for-bit the reference math;
-    beyond it, coordinate reflection provides mirrored content (multi-mirror
-    instead of the reference's resample-retry) -- a graceful, shape-static
-    degradation that preserves the non-leaking property.
+  * The reference output depends on its dynamic G-derived pad only through a
+    subpixel phase; we fix a STATIC margin M and mirror the reference's
+    coordinate formulas with pad == M.  The image is physically reflect-padded
+    by M + pad_k (pad_k = 6, the sym6 support); sample coordinates beyond that
+    are folded back by coordinate reflection inside the sampler, supplying
+    multi-mirrored content instead of the reference's true reflect-pad.
+  * HONESTY NOTE on M (default 64): the reference's dynamic pad for a rotated
+    256px image is ~(sqrt(2)-1)*256 = 106 pixels BEFORE scaling/translation
+    (worst case with the clamped scale tails: ~(sqrt(2)*1.5-1+0.25)*128 = 175).
+    So whenever the pre/post-rotation fires (prob 1-sqrt(1-p) each), border
+    content deviates from the reference's: the sampler reads mirror-folded
+    pixels where the reference read singly-reflected pad.  Exactness holds for
+    every transform whose dynamic pad is <= M -- all flips/90-degree
+    rotations/integer translates and moderate scales, but NOT full rotations
+    at the default margin.  Raise --ada_margin (e.g. size//2 + size//4) for
+    full border parity at ~(size+2M)^2-proportional extra FIR cost; the warp
+    itself is margin-cost-free (grid restricted to the crop-surviving window).
+  * The non-leaking property is unaffected either way (the augmentation stays
+    a fixed per-transform linear map of the image).
   * sym6 is an orthogonal wavelet, so the up2(flip k) -> down2(k) pair is
     perfect-reconstruction: with G == I the pipeline returns the input exactly,
     which pins down every offset in the coordinate bookkeeping (tested).
@@ -38,6 +46,17 @@ import numpy as np
 
 from rick_tpu.ops import upfirdn2d
 from rick_tpu.ops.resample import upfirdn2d_separable
+from rick_tpu.augment.warp import warp_bilinear_matmul
+
+
+def _warp_mode() -> str:
+    """Bilinear-warp lowering: 'matmul' (tiled interpolation matmuls; MXU
+    forward and backward, the TPU-fast path) or 'gather' (4-tap point gather;
+    the direct grid_sample transcription).  Both produce identical values
+    (tested); RICK_ADA_WARP overrides."""
+    import os
+
+    return os.environ.get("RICK_ADA_WARP", "matmul")
 
 # sym6 wavelet taps (`non_leaking.py:9-22`)
 SYM6 = (
@@ -330,7 +349,7 @@ def apply_affine(img, G, *, margin: int = 64, antialiasing_kernel=SYM6):
 
     G_inv = jnp.linalg.inv(G)  # (B,3,3)
 
-    def warp_one(im2x, gi):
+    def coords_one(gi):
         # affine_grid: (x', y') = Ginv[:2,:] @ (x, y, 1)
         xp = gi[0, 0] * grid_x + gi[0, 1] * grid_y + gi[0, 2]
         yp = gi[1, 0] * grid_x + gi[1, 1] * grid_y + gi[1, 2]
@@ -340,9 +359,15 @@ def apply_affine(img, G, *, margin: int = 64, antialiasing_kernel=SYM6):
         # 2x pixel coords, align_corners=False convention
         x_pix = (xp + 1.0) * W2 / 2.0 - 0.5
         y_pix = (yp + 1.0) * H2 / 2.0 - 0.5
-        return _bilinear_sample_reflect(im2x, x_pix, y_pix)
+        return x_pix, y_pix
 
-    img_affine = jax.vmap(warp_one)(img_2x, G_inv)  # (B,C,Lh,Lw)
+    x_pix, y_pix = jax.vmap(coords_one)(G_inv)  # (B,Lh,Lw) each
+    if _warp_mode() == "matmul":
+        # TPU path: tiled 2-tap interpolation matmuls (MXU fwd AND bwd) --
+        # exact same taps/weights as the gather sampler (see augment/warp.py)
+        img_affine = warp_bilinear_matmul(img_2x, x_pix, y_pix)
+    else:
+        img_affine = jax.vmap(_bilinear_sample_reflect)(img_2x, x_pix, y_pix)
 
     # down2 'valid' over the restricted window directly yields the crop
     img_down = upfirdn2d_separable(img_affine, kernel_1d, down=2)  # (B,C,h_o,w_o)

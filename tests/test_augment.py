@@ -137,3 +137,48 @@ def test_sample_affine_distribution_properties():
     # toggling sign, P(det<0) = p/2 = 0.25
     frac_neg = (np.linalg.det(G) < 0).mean()
     assert abs(frac_neg - 0.25) < 0.05
+
+
+def test_matmul_and_gather_warps_agree():
+    """The tiled interpolation-matmul warp (TPU path) must reproduce the
+    4-tap gather sampler exactly, including multi-mirror folding near edges
+    and rot90/flip/full-rotation transforms."""
+    import os
+
+    from rick_tpu.augment.ada import apply_affine, sample_affine
+
+    key = jax.random.key(11)
+    img = jax.random.normal(jax.random.key(12), (4, 3, 48, 48), jnp.float32)
+    G = sample_affine(key, 1.0, 4, 48, 48)
+
+    os.environ["RICK_ADA_WARP"] = "gather"
+    try:
+        a = apply_affine(img, G, margin=8)
+    finally:
+        os.environ["RICK_ADA_WARP"] = "matmul"
+    b = apply_affine(img, G, margin=8)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=2e-5)
+
+
+def test_warp_matmul_grad_matches_gather_grad():
+    """Backward through the matmul warp (matmul transpose) == backward
+    through the gather warp (scatter-add)."""
+    import os
+
+    from rick_tpu.augment.ada import apply_affine, sample_affine
+
+    img = jax.random.normal(jax.random.key(21), (2, 3, 16, 16), jnp.float32)
+    G = sample_affine(jax.random.key(22), 1.0, 2, 16, 16)
+
+    def loss(im):
+        return jnp.sum(apply_affine(im, G, margin=6) ** 2)
+
+    os.environ["RICK_ADA_WARP"] = "gather"
+    try:
+        g_gather = jax.grad(loss)(img)
+    finally:
+        os.environ["RICK_ADA_WARP"] = "matmul"
+    g_matmul = jax.grad(loss)(img)
+    np.testing.assert_allclose(
+        np.asarray(g_gather), np.asarray(g_matmul), rtol=1e-4, atol=1e-4
+    )
