@@ -1,5 +1,24 @@
-"""L6: device mesh construction and sharding helpers."""
+"""L6: device mesh construction, sharding helpers, multi-host runtime.
+
+TPU-native equivalent of the reference's DataParallel wrap + torch.distributed
+shims (`train_dynamic_update_prune.py:941-944`, `distributed.py:9-126`).
+"""
 
 from rick_tpu.dist.mesh import make_mesh, shard_batch, replicate, local_batch_size
+from rick_tpu.dist.multihost import (
+    initialize_multihost,
+    process_batch_slice,
+    reduce_mean,
+    reduce_sum,
+)
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "local_batch_size"]
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "local_batch_size",
+    "initialize_multihost",
+    "process_batch_slice",
+    "reduce_sum",
+    "reduce_mean",
+]

@@ -8,9 +8,22 @@ process its own shard of the global batch (`process_batch_slice`)."""
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
+
+# Environment variables whose presence indicates a multi-process launch with
+# automatic coordination (JAX's own cluster-detection inputs: its coordination
+# service var, TPU pod metadata, or the common MPI/Slurm launchers).
+_AUTO_ENV_VARS = (
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "TPU_WORKER_HOSTNAMES",
+    "SLURM_JOB_NUM_NODES",
+    "OMPI_COMM_WORLD_SIZE",
+)
 
 
 def initialize_multihost(
@@ -20,8 +33,11 @@ def initialize_multihost(
 ) -> Tuple[int, int]:
     """jax.distributed.initialize wrapper; returns (process_index, process_count).
 
-    With no arguments, relies on the TPU environment's automatic discovery.
-    Safe to call in single-process runs (no-op)."""
+    With no arguments, initializes via JAX's automatic cluster discovery when
+    the environment shows multi-process coordination variables (TPU pod
+    metadata, Slurm, OpenMPI, or an explicit coordinator address); plain
+    single-process runs stay a no-op.  Mirrors the capability the reference
+    scaffolds but never wires up (`distributed.py:9-41`)."""
     try:
         if coordinator_address is not None:
             jax.distributed.initialize(coordinator_address, num_processes, process_id)
@@ -29,10 +45,10 @@ def initialize_multihost(
             jax.distributed.initialize(
                 num_processes=num_processes, process_id=process_id
             )
-        else:
-            # auto-discovery only makes sense on actual multi-host slices
-            if jax.process_count() == 1:
-                pass
+        elif any(os.environ.get(v) for v in _AUTO_ENV_VARS):
+            # multi-process launch detected: let jax's cluster auto-detection
+            # resolve the coordinator/process topology
+            jax.distributed.initialize()
     except RuntimeError:
         pass  # already initialized
     return jax.process_index(), jax.process_count()
