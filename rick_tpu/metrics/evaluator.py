@@ -40,11 +40,19 @@ from rick_tpu.nn.generator import generator_apply
 
 
 def _stats_from_acts(acts):
-    """(n, d) activations -> (mu, cov) with np.cov semantics (ddof=1)."""
+    """(n, d) activations -> (mu, cov) with np.cov ddof=1 semantics.
+
+    DEVIATION: accumulation is float32 (x64 is disabled on device); the
+    reference accumulates FID statistics in float64.  For near-singular
+    covariances this can drift the Frechet distance slightly -- set
+    RICK_FID_HOST_SQRTM=1 to compute the real-side stats in f64 on host and
+    the distance via scipy (the fake side stays f32 on device: fetching the
+    5000x2048 activations per eval would pay the high-latency host link).
+    """
     n = acts.shape[0]
-    acts64 = acts.astype(jnp.float32)
-    mu = jnp.mean(acts64, axis=0)
-    xc = acts64 - mu
+    x = acts.astype(jnp.float32)
+    mu = jnp.mean(x, axis=0)
+    xc = x - mu
     cov = (xc.T @ xc) / (n - 1)
     return mu, cov
 
@@ -63,6 +71,7 @@ class Evaluator:
         inception_params=None,
         gen_batch: int = 100,
         inception_dtype=jnp.float32,
+        gen_dtype=jnp.float32,
         seed: int = 0,
     ):
         self.gcfg = gcfg
@@ -91,11 +100,11 @@ class Evaluator:
         def gen_chunk_acts(gp, incp, k):
             kz, kn = jax.random.split(k)
             z = jax.random.normal(kz, (gb, lat))
-            imgs, _ = generator_apply(gcfg, gp, [z], rng=kn)
-            # feature extraction optionally in bf16 (generation stays f32)
+            # eval-only bf16 trunk: params stay f32, conv compute in gen_dtype
+            imgs, _ = generator_apply(gcfg, gp, [z], rng=kn, dtype=gen_dtype)
+            imgs = imgs.astype(inc_dtype)
             if inc_dtype != jnp.float32:
                 incp = jax.tree.map(lambda a: a.astype(inc_dtype), incp)
-                imgs = imgs.astype(inc_dtype)
             return inception_pool3(incp, imgs).astype(jnp.float32)
 
         def eval_scan(gp, incp, key, want_acts: bool):
@@ -163,6 +172,7 @@ class Evaluator:
             jnp.asarray(self._real_acts, jnp.float32)
         )
         self._real_acts_dev = jnp.asarray(self._real_acts, jnp.float32)
+        self._real_stats64 = None  # lazy f64 real-side stats (host-FID path)
 
         self._gen = jax.jit(lambda gp, z, k: generator_apply(gcfg, gp, [z], rng=k)[0])
 
@@ -202,9 +212,15 @@ class Evaluator:
             import os
 
             if os.environ.get("RICK_FID_HOST_SQRTM"):
+                # real-side stats in true f64 (activations already on host)
+                if self._real_stats64 is None:
+                    acts64 = np.asarray(self._real_acts, np.float64)
+                    mu64 = acts64.mean(axis=0)
+                    xc = acts64 - mu64
+                    self._real_stats64 = (mu64, xc.T @ xc / (acts64.shape[0] - 1))
                 score["fid"] = calculate_frechet_distance(
-                    np.asarray(self._real_mu_dev, np.float64),
-                    np.asarray(self._real_cov_dev, np.float64),
+                    self._real_stats64[0],
+                    self._real_stats64[1],
                     np.asarray(mu, np.float64),
                     np.asarray(cov, np.float64),
                 )
@@ -215,7 +231,11 @@ class Evaluator:
 
         if pr:
             assert self.ipr is not None
-            self.ipr.compute_manifold_ref(self.real)
+            # the real manifold is eval-invariant: extract VGG features for
+            # the 5000 reals ONCE and reuse across evals (the reference
+            # recomputes it per call, `eval.py:59-65`)
+            if getattr(self.ipr, "manifold_ref", None) is None:
+                self.ipr.compute_manifold_ref(self.real)
             self._key, kv = jax.random.split(self._key)
             feats = np.asarray(self._vgg_scan(g_ema, self.ipr.params, kv), np.float64)
             from rick_tpu.metrics.precision_recall import compute_pairwise_distances

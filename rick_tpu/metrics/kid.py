@@ -26,7 +26,14 @@ def _polynomial_kernel(X, Y=None, degree=3, gamma=None, coef0=1.0):
 
 
 def _mmd2_and_variance(K_XX, K_XY, K_YY, var_at_m=None, ret_var=True):
-    """Unbiased MMD^2 + variance estimate (`kid_score.py:292-373`)."""
+    """Unbiased MMD^2 + variance estimate (`kid_score.py:292-373`).
+
+    Provenance: this estimator (names and term layout included) originates in
+    dougalsutherland/opt-mmd (BSD licensed; Sutherland et al., "Generative
+    Models and Model Criticism via Optimized MMD", ICLR 2017) -- the reference
+    vendored it verbatim, and the algebra is pinned by the published
+    unbiased-MMD^2/variance formulas, so it is reproduced rather than
+    re-derived."""
     m = K_XX.shape[0]
     if var_at_m is None:
         var_at_m = m
