@@ -75,7 +75,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_root", type=str, default="../../_output_style_gan")
     p.add_argument("--sample_noise", type=str, default="./noise.pt")
     p.add_argument("--fisher_noise_dir", type=str, default="./_noise")
-    p.add_argument("--ada_margin", type=int, default=64)
+    p.add_argument(
+        "--ada_margin", type=int, default=64,
+        help="static reflect-pad margin for the ADA warp; rotated samples "
+        "deviate at the borders unless this covers the rotation worst case "
+        "(~0.87*size; see rick_tpu/augment/ada.py honesty note)",
+    )
     p.add_argument("--eval_bf16", action="store_true",
                    help="bfloat16 InceptionV3 feature extraction during eval")
     p.add_argument("--resume", type=str, default="")
@@ -85,6 +90,39 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--profile_dir", type=str, default="", help="enable jax profiler traces")
     return p
+
+
+def load_fisher_noises(noise_dir, num_fisher_img, latent, batch):
+    """Load the fixed `_noise/{j:04d}.pt` Fisher latents.
+
+    The reference iterates EVERY row of each file
+    (`train_dynamic_update_prune.py:227-236`: one FIM sample per row, paired
+    index-for-index with one fetched real batch), so files stay 2-D.  Returns
+    (noises, rows): noises is (sum(rows), latent) float32, rows the per-file
+    row counts (used to slice the paired real batches).  Missing files fall
+    back to one fixed random row.
+    """
+    import jax
+
+    from rick_tpu.ckpt import load_torch_file
+
+    noises, rows = [], []
+    for j in range(num_fisher_img):
+        fpath = os.path.join(noise_dir, f"{j:04d}.pt")
+        if os.path.exists(fpath):
+            r = np.asarray(load_torch_file(fpath), np.float32).reshape(-1, latent)
+            if r.shape[0] > batch:
+                raise ValueError(
+                    f"{fpath} has {r.shape[0]} rows > batch {batch}; the "
+                    "reference pairs each row with a row of one real batch"
+                )
+        else:
+            r = np.asarray(
+                jax.random.normal(jax.random.key(1000 + j), (1, latent)), np.float32
+            )
+        noises.append(r)
+        rows.append(r.shape[0])
+    return np.concatenate(noises, axis=0), rows
 
 
 def main(argv=None):
@@ -200,6 +238,9 @@ def main(argv=None):
             f.writelines(f"{k} : {v}\n")
         f.writelines("------------------- end -------------------")
 
+    # ---- training-script copy into the run dir (`:853-857`)
+    shutil.copy(os.path.abspath(__file__), os.path.join(args.output_path, "train_script.py"))
+
     # ---- models + source checkpoint (`:864-879`)
     key = jax.random.key(args.seed)
     kg, kd, ktrain = jax.random.split(key, 3)
@@ -266,16 +307,10 @@ def main(argv=None):
     else:
         sample_z = jax.random.normal(jax.random.key(0), (args.n_sample_store, args.latent))
 
-    fisher_noises = []
-    for j in range(args.num_fisher_img):
-        fpath = os.path.join(args.fisher_noise_dir, f"{j:04d}.pt")
-        if os.path.exists(fpath):
-            fisher_noises.append(np.asarray(load_torch_file(fpath), np.float32).reshape(-1))
-        else:
-            fisher_noises.append(
-                np.asarray(jax.random.normal(jax.random.key(1000 + j), (args.latent,)))
-            )
-    fisher_noises = jnp.asarray(np.stack(fisher_noises))
+    fisher_noises, fisher_rows = load_fisher_noises(
+        args.fisher_noise_dir, args.num_fisher_img, args.latent, args.batch
+    )
+    fisher_noises = jnp.asarray(fisher_noises)
 
     # ---- training loop (`:159-699`)
     rng = jax.random.key(args.seed + 7)
@@ -295,8 +330,9 @@ def main(argv=None):
         # Fisher round (`:213-393`)
         if i >= args.warmup_iter and (i - args.warmup_iter) % args.fisher_freq == 0:
             rng, kf = jax.random.split(rng)
+            # one real batch per noise file, rows paired index-for-index (`:228-237`)
             reals = np.concatenate(
-                [np.asarray(next(train_loader))[:1] for _ in range(args.num_fisher_img)]
+                [np.asarray(next(train_loader))[:r] for r in fisher_rows]
             )
             gf, gp, df, dp = fisher_round(
                 gcfg, dcfg, state["g_ema"], state["d_ema"],
@@ -304,6 +340,7 @@ def main(argv=None):
                 batch=args.batch,
                 fisher_quantile=args.fisher_quantile,
                 prune_quantile=args.prune_quantile,
+                denom=float(args.num_fisher_img * args.batch),
             )
             state["g_freeze"], state["d_freeze"] = gf, df
             if i == args.warmup_iter:

@@ -72,6 +72,7 @@ class Evaluator:
         gen_batch: int = 100,
         inception_dtype=jnp.float32,
         gen_dtype=jnp.float32,
+        inception_nhwc: bool = False,
         seed: int = 0,
     ):
         self.gcfg = gcfg
@@ -89,6 +90,14 @@ class Evaluator:
         self.inception_params = (
             inception_params if inception_params is not None else default_inception_params()
         )
+        # NHWC trunk: TPU-preferred conv layout; weights transposed ONCE here
+        self._inc_nhwc = bool(inception_nhwc)
+        if self._inc_nhwc:
+            from rick_tpu.metrics.inception import params_to_nhwc
+
+            self._inc_run_params = params_to_nhwc(self.inception_params)
+        else:
+            self._inc_run_params = self.inception_params
         self._key = jax.random.key(seed)
         self.ipr = IPR(batch_size, k=3, num_samples=inception_nsamples) if compute_pr else None
         self._compute_pr = compute_pr
@@ -96,6 +105,7 @@ class Evaluator:
         gb, nc, lat = self.gen_batch, self.n_chunks, self.latent
 
         inc_dtype = inception_dtype
+        inc_nhwc = self._inc_nhwc
 
         def gen_chunk_acts(gp, incp, k):
             kz, kn = jax.random.split(k)
@@ -105,7 +115,7 @@ class Evaluator:
             imgs = imgs.astype(inc_dtype)
             if inc_dtype != jnp.float32:
                 incp = jax.tree.map(lambda a: a.astype(inc_dtype), incp)
-            return inception_pool3(incp, imgs).astype(jnp.float32)
+            return inception_pool3(incp, imgs, nhwc=inc_nhwc).astype(jnp.float32)
 
         def eval_scan(gp, incp, key, want_acts: bool):
             keys = jax.random.split(key, nc)
@@ -167,7 +177,9 @@ class Evaluator:
             self._vgg_scan = jax.jit(vgg_scan)
 
         # real-set activations: one-time chunked pass, stats on device
-        self._real_acts = get_activations(self.real, batch_size, self.inception_params)
+        self._real_acts = get_activations(
+            self.real, batch_size, self._inc_run_params, nhwc=self._inc_nhwc
+        )
         self._real_mu_dev, self._real_cov_dev = jax.jit(_stats_from_acts)(
             jnp.asarray(self._real_acts, jnp.float32)
         )
@@ -198,7 +210,7 @@ class Evaluator:
         self._key, k = jax.random.split(self._key)
 
         if kid:
-            mu, cov, fake_acts = self._eval_stats_acts(g_ema, self.inception_params, k)
+            mu, cov, fake_acts = self._eval_stats_acts(g_ema, self._inc_run_params, k)
             self._key, kk = jax.random.split(self._key)
             subset = min(1000, min(2000, self._real_acts_dev.shape[0]))
             mmds = self._kid_device(
@@ -206,7 +218,7 @@ class Evaluator:
             )
             score["kid"] = float(np.asarray(mmds).mean())
         else:
-            mu, cov = self._eval_stats(g_ema, self.inception_params, k)
+            mu, cov = self._eval_stats(g_ema, self._inc_run_params, k)
 
         if fid:
             import os

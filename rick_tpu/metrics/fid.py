@@ -27,13 +27,17 @@ def _params():
     return _model_params
 
 
-@functools.partial(jax.jit, static_argnums=())
-def _pool3(params, batch):
-    return inception_pool3(params, batch)
+@functools.partial(jax.jit, static_argnames=("nhwc",))
+def _pool3(params, batch, nhwc=False):
+    return inception_pool3(params, batch, nhwc=nhwc)
 
 
-def get_activations(images: np.ndarray, batch_size: int = 64, params=None) -> np.ndarray:
-    """pool3 activations for NCHW images in [-1, 1] (numpy or jax array)."""
+def get_activations(
+    images: np.ndarray, batch_size: int = 64, params=None, *, nhwc: bool = False
+) -> np.ndarray:
+    """pool3 activations for NCHW images in [-1, 1] (numpy or jax array).
+
+    nhwc=True requires params pre-transposed with inception.params_to_nhwc."""
     if params is None:
         params = _params()
     d0 = images.shape[0]
@@ -42,7 +46,7 @@ def get_activations(images: np.ndarray, batch_size: int = 64, params=None) -> np
     outs = []
     for i in range(n_batches):
         batch = jnp.asarray(np.asarray(images[i * batch_size : (i + 1) * batch_size], np.float32))
-        outs.append(np.asarray(_pool3(params, batch), np.float64))
+        outs.append(np.asarray(_pool3(params, batch, nhwc=nhwc), np.float64))
     return np.concatenate(outs, axis=0)
 
 

@@ -172,12 +172,24 @@ def default_inception_params() -> Dict[str, jnp.ndarray]:
 # ---------------------------------------------------------------------------
 
 
-def _conv_bn(params, name, x):
+def params_to_nhwc(params):
+    """Pre-transpose every conv weight OIHW -> HWIO for the NHWC trunk (do it
+    ONCE at setup; avoids a per-call transpose of ~24M weights)."""
+    out = {}
+    for k, v in params.items():
+        if k.endswith("conv.weight"):
+            out[k] = jnp.transpose(v, (2, 3, 1, 0))
+        else:
+            out[k] = v
+    return out
+
+
+def _conv_bn(params, name, x, nhwc=False):
     i, o, k, s, p = _SPEC[name]
     w = params[f"{name}.conv.weight"].astype(x.dtype)
     y = lax.conv_general_dilated(
         x, w, window_strides=s, padding=((p[0], p[0]), (p[1], p[1])),
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        dimension_numbers=("NHWC", "HWIO", "NHWC") if nhwc else ("NCHW", "OIHW", "NCHW"),
     )
     gamma = params[f"{name}.bn.weight"]
     beta = params[f"{name}.bn.bias"]
@@ -185,116 +197,134 @@ def _conv_bn(params, name, x):
     var = params[f"{name}.bn.running_var"]
     scale = (gamma * lax.rsqrt(var + 1e-3)).astype(x.dtype)
     shift = (beta - mean * gamma * lax.rsqrt(var + 1e-3)).astype(x.dtype)
-    y = y * scale.reshape(1, -1, 1, 1) + shift.reshape(1, -1, 1, 1)
+    cshape = (1, 1, 1, -1) if nhwc else (1, -1, 1, 1)
+    y = y * scale.reshape(cshape) + shift.reshape(cshape)
     return jax.nn.relu(y)
 
 
-def _maxpool(x, k=3, s=2):
-    return lax.reduce_window(
-        x, -jnp.inf, lax.max, (1, 1, k, k), (1, 1, s, s), "VALID"
-    )
+def _maxpool(x, k=3, s=2, nhwc=False):
+    dims = (1, k, k, 1) if nhwc else (1, 1, k, k)
+    strides = (1, s, s, 1) if nhwc else (1, 1, s, s)
+    return lax.reduce_window(x, -jnp.inf, lax.max, dims, strides, "VALID")
 
 
-def _avgpool3_s1_p1(x):
-    s = lax.reduce_window(
-        x, 0.0, lax.add, (1, 1, 3, 3), (1, 1, 1, 1), [(0, 0), (0, 0), (1, 1), (1, 1)]
-    )
+def _avgpool3_s1_p1(x, nhwc=False):
+    dims = (1, 3, 3, 1) if nhwc else (1, 1, 3, 3)
+    pad = [(0, 0), (1, 1), (1, 1), (0, 0)] if nhwc else [(0, 0), (0, 0), (1, 1), (1, 1)]
+    s = lax.reduce_window(x, 0.0, lax.add, dims, (1, 1, 1, 1), pad)
     return s / 9.0  # count_include_pad=True (torch default)
 
 
-def _block_a(params, prefix, x):
-    b1 = _conv_bn(params, f"{prefix}.branch1x1", x)
-    b5 = _conv_bn(params, f"{prefix}.branch5x5_2", _conv_bn(params, f"{prefix}.branch5x5_1", x))
-    b3 = _conv_bn(params, f"{prefix}.branch3x3dbl_1", x)
-    b3 = _conv_bn(params, f"{prefix}.branch3x3dbl_2", b3)
-    b3 = _conv_bn(params, f"{prefix}.branch3x3dbl_3", b3)
-    bp = _conv_bn(params, f"{prefix}.branch_pool", _avgpool3_s1_p1(x))
-    return jnp.concatenate([b1, b5, b3, bp], axis=1)
+def _block_a(params, prefix, x, nhwc=False):
+    ax = 3 if nhwc else 1
+    b1 = _conv_bn(params, f"{prefix}.branch1x1", x, nhwc)
+    b5 = _conv_bn(params, f"{prefix}.branch5x5_2", _conv_bn(params, f"{prefix}.branch5x5_1", x, nhwc), nhwc)
+    b3 = _conv_bn(params, f"{prefix}.branch3x3dbl_1", x, nhwc)
+    b3 = _conv_bn(params, f"{prefix}.branch3x3dbl_2", b3, nhwc)
+    b3 = _conv_bn(params, f"{prefix}.branch3x3dbl_3", b3, nhwc)
+    bp = _conv_bn(params, f"{prefix}.branch_pool", _avgpool3_s1_p1(x, nhwc), nhwc)
+    return jnp.concatenate([b1, b5, b3, bp], axis=ax)
 
 
-def _block_b(params, prefix, x):
-    b3 = _conv_bn(params, f"{prefix}.branch3x3", x)
-    bd = _conv_bn(params, f"{prefix}.branch3x3dbl_1", x)
-    bd = _conv_bn(params, f"{prefix}.branch3x3dbl_2", bd)
-    bd = _conv_bn(params, f"{prefix}.branch3x3dbl_3", bd)
-    bp = _maxpool(x)
-    return jnp.concatenate([b3, bd, bp], axis=1)
+def _block_b(params, prefix, x, nhwc=False):
+    ax = 3 if nhwc else 1
+    b3 = _conv_bn(params, f"{prefix}.branch3x3", x, nhwc)
+    bd = _conv_bn(params, f"{prefix}.branch3x3dbl_1", x, nhwc)
+    bd = _conv_bn(params, f"{prefix}.branch3x3dbl_2", bd, nhwc)
+    bd = _conv_bn(params, f"{prefix}.branch3x3dbl_3", bd, nhwc)
+    bp = _maxpool(x, nhwc=nhwc)
+    return jnp.concatenate([b3, bd, bp], axis=ax)
 
 
-def _block_c(params, prefix, x):
-    b1 = _conv_bn(params, f"{prefix}.branch1x1", x)
-    b7 = _conv_bn(params, f"{prefix}.branch7x7_1", x)
-    b7 = _conv_bn(params, f"{prefix}.branch7x7_2", b7)
-    b7 = _conv_bn(params, f"{prefix}.branch7x7_3", b7)
-    bd = _conv_bn(params, f"{prefix}.branch7x7dbl_1", x)
+def _block_c(params, prefix, x, nhwc=False):
+    ax = 3 if nhwc else 1
+    b1 = _conv_bn(params, f"{prefix}.branch1x1", x, nhwc)
+    b7 = _conv_bn(params, f"{prefix}.branch7x7_1", x, nhwc)
+    b7 = _conv_bn(params, f"{prefix}.branch7x7_2", b7, nhwc)
+    b7 = _conv_bn(params, f"{prefix}.branch7x7_3", b7, nhwc)
+    bd = _conv_bn(params, f"{prefix}.branch7x7dbl_1", x, nhwc)
     for i in range(2, 6):
-        bd = _conv_bn(params, f"{prefix}.branch7x7dbl_{i}", bd)
-    bp = _conv_bn(params, f"{prefix}.branch_pool", _avgpool3_s1_p1(x))
-    return jnp.concatenate([b1, b7, bd, bp], axis=1)
+        bd = _conv_bn(params, f"{prefix}.branch7x7dbl_{i}", bd, nhwc)
+    bp = _conv_bn(params, f"{prefix}.branch_pool", _avgpool3_s1_p1(x, nhwc), nhwc)
+    return jnp.concatenate([b1, b7, bd, bp], axis=ax)
 
 
-def _block_d(params, prefix, x):
-    b3 = _conv_bn(params, f"{prefix}.branch3x3_2", _conv_bn(params, f"{prefix}.branch3x3_1", x))
-    b7 = _conv_bn(params, f"{prefix}.branch7x7x3_1", x)
-    b7 = _conv_bn(params, f"{prefix}.branch7x7x3_2", b7)
-    b7 = _conv_bn(params, f"{prefix}.branch7x7x3_3", b7)
-    b7 = _conv_bn(params, f"{prefix}.branch7x7x3_4", b7)
-    bp = _maxpool(x)
-    return jnp.concatenate([b3, b7, bp], axis=1)
+def _block_d(params, prefix, x, nhwc=False):
+    ax = 3 if nhwc else 1
+    b3 = _conv_bn(params, f"{prefix}.branch3x3_2", _conv_bn(params, f"{prefix}.branch3x3_1", x, nhwc), nhwc)
+    b7 = _conv_bn(params, f"{prefix}.branch7x7x3_1", x, nhwc)
+    b7 = _conv_bn(params, f"{prefix}.branch7x7x3_2", b7, nhwc)
+    b7 = _conv_bn(params, f"{prefix}.branch7x7x3_3", b7, nhwc)
+    b7 = _conv_bn(params, f"{prefix}.branch7x7x3_4", b7, nhwc)
+    bp = _maxpool(x, nhwc=nhwc)
+    return jnp.concatenate([b3, b7, bp], axis=ax)
 
 
-def _block_e(params, prefix, x):
-    b1 = _conv_bn(params, f"{prefix}.branch1x1", x)
-    b3 = _conv_bn(params, f"{prefix}.branch3x3_1", x)
+def _block_e(params, prefix, x, nhwc=False):
+    ax = 3 if nhwc else 1
+    b1 = _conv_bn(params, f"{prefix}.branch1x1", x, nhwc)
+    b3 = _conv_bn(params, f"{prefix}.branch3x3_1", x, nhwc)
     b3 = jnp.concatenate(
-        [_conv_bn(params, f"{prefix}.branch3x3_2a", b3), _conv_bn(params, f"{prefix}.branch3x3_2b", b3)],
-        axis=1,
+        [_conv_bn(params, f"{prefix}.branch3x3_2a", b3, nhwc), _conv_bn(params, f"{prefix}.branch3x3_2b", b3, nhwc)],
+        axis=ax,
     )
-    bd = _conv_bn(params, f"{prefix}.branch3x3dbl_1", x)
-    bd = _conv_bn(params, f"{prefix}.branch3x3dbl_2", bd)
+    bd = _conv_bn(params, f"{prefix}.branch3x3dbl_1", x, nhwc)
+    bd = _conv_bn(params, f"{prefix}.branch3x3dbl_2", bd, nhwc)
     bd = jnp.concatenate(
-        [_conv_bn(params, f"{prefix}.branch3x3dbl_3a", bd), _conv_bn(params, f"{prefix}.branch3x3dbl_3b", bd)],
-        axis=1,
+        [_conv_bn(params, f"{prefix}.branch3x3dbl_3a", bd, nhwc), _conv_bn(params, f"{prefix}.branch3x3dbl_3b", bd, nhwc)],
+        axis=ax,
     )
-    bp = _conv_bn(params, f"{prefix}.branch_pool", _avgpool3_s1_p1(x))
-    return jnp.concatenate([b1, b3, bd, bp], axis=1)
+    bp = _conv_bn(params, f"{prefix}.branch_pool", _avgpool3_s1_p1(x, nhwc), nhwc)
+    return jnp.concatenate([b1, b3, bd, bp], axis=ax)
 
 
-def inception_pool3(params, x, *, resize_input: bool = True, normalize_input: bool = True):
+def inception_pool3(
+    params, x, *, resize_input: bool = True, normalize_input: bool = True, nhwc: bool = False
+):
     """pool3 (2048-d) activations for images x in [-1, 1], NCHW.
 
     Mirrors the reference wrapper (`gan_training/metrics/inception.py:83-106`):
     bilinear resize to 299x299, per-channel remap from [-1,1] to ImageNet
     normalization, then the torchvision trunk to the final avgpool.
+
+    nhwc=True runs the trunk in NHWC (the TPU-preferred conv layout; input
+    stays NCHW at the API -- one transpose up front).  Requires params
+    pre-transposed with `params_to_nhwc`.  Values match NCHW up to fp
+    reassociation (tested).
     """
-    if resize_input:
+    if nhwc:
+        x = jnp.transpose(x, (0, 2, 3, 1))
+        if resize_input:
+            x = jax.image.resize(x, (x.shape[0], 299, 299, x.shape[3]), method="bilinear")
+    elif resize_input:
         x = jax.image.resize(x, (x.shape[0], x.shape[1], 299, 299), method="bilinear")
     if normalize_input:
         scale = jnp.asarray([0.229 / 0.5, 0.224 / 0.5, 0.225 / 0.5], x.dtype)
         shift = jnp.asarray(
             [(0.485 - 0.5) / 0.5, (0.456 - 0.5) / 0.5, (0.406 - 0.5) / 0.5], x.dtype
         )
-        x = x * scale.reshape(1, 3, 1, 1) + shift.reshape(1, 3, 1, 1)
+        cshape = (1, 1, 1, 3) if nhwc else (1, 3, 1, 1)
+        x = x * scale.reshape(cshape) + shift.reshape(cshape)
 
-    x = _conv_bn(params, "Conv2d_1a_3x3", x)
-    x = _conv_bn(params, "Conv2d_2a_3x3", x)
-    x = _conv_bn(params, "Conv2d_2b_3x3", x)
-    x = _maxpool(x)
-    x = _conv_bn(params, "Conv2d_3b_1x1", x)
-    x = _conv_bn(params, "Conv2d_4a_3x3", x)
-    x = _maxpool(x)
-    x = _block_a(params, "Mixed_5b", x)
-    x = _block_a(params, "Mixed_5c", x)
-    x = _block_a(params, "Mixed_5d", x)
-    x = _block_b(params, "Mixed_6a", x)
-    x = _block_c(params, "Mixed_6b", x)
-    x = _block_c(params, "Mixed_6c", x)
-    x = _block_c(params, "Mixed_6d", x)
-    x = _block_c(params, "Mixed_6e", x)
-    x = _block_d(params, "Mixed_7a", x)
-    x = _block_e(params, "Mixed_7b", x)
-    x = _block_e(params, "Mixed_7c", x)
-    return jnp.mean(x, axis=(2, 3))  # adaptive avg pool to 1x1 -> (N, 2048)
+    x = _conv_bn(params, "Conv2d_1a_3x3", x, nhwc)
+    x = _conv_bn(params, "Conv2d_2a_3x3", x, nhwc)
+    x = _conv_bn(params, "Conv2d_2b_3x3", x, nhwc)
+    x = _maxpool(x, nhwc=nhwc)
+    x = _conv_bn(params, "Conv2d_3b_1x1", x, nhwc)
+    x = _conv_bn(params, "Conv2d_4a_3x3", x, nhwc)
+    x = _maxpool(x, nhwc=nhwc)
+    x = _block_a(params, "Mixed_5b", x, nhwc)
+    x = _block_a(params, "Mixed_5c", x, nhwc)
+    x = _block_a(params, "Mixed_5d", x, nhwc)
+    x = _block_b(params, "Mixed_6a", x, nhwc)
+    x = _block_c(params, "Mixed_6b", x, nhwc)
+    x = _block_c(params, "Mixed_6c", x, nhwc)
+    x = _block_c(params, "Mixed_6d", x, nhwc)
+    x = _block_c(params, "Mixed_6e", x, nhwc)
+    x = _block_d(params, "Mixed_7a", x, nhwc)
+    x = _block_e(params, "Mixed_7b", x, nhwc)
+    x = _block_e(params, "Mixed_7c", x, nhwc)
+    return jnp.mean(x, axis=(1, 2) if nhwc else (2, 3))  # avg pool -> (N, 2048)
 
 
 def inception_logits(params, x, *, resize_input: bool = True):

@@ -75,16 +75,25 @@ def _get_accum_fn(gcfg, dcfg, n: int, denom: float):
     return _ACCUM_CACHE[key]
 
 
-def accumulate_fims(gcfg, dcfg, g_ema, d_ema, noises, reals, rng, *, batch: int):
+def accumulate_fims(
+    gcfg, dcfg, g_ema, d_ema, noises, reals, rng, *, batch: int, denom: float | None = None
+):
     """Average FIM over the fisher latents (`:225-269`) in ONE compiled call.
 
-    noises: (N, 512); reals: (N, 3, H, W).  The reference divides the summed
-    FIM by num_fisher_img * args.batch (`:266-269`) -- replicated verbatim,
-    including the quirk that the divisor uses the train batch size.
+    noises: (N, 512); reals: (N, 3, H, W) where N is the TOTAL number of
+    per-image FIM samples (the reference iterates every row of each
+    `_noise/{j}.pt` file, `:230`, so N = num_fisher_img * rows_per_file).
+    The reference divides the summed FIM by num_fisher_img * args.batch
+    (`:266-269`) -- replicated verbatim, including the quirk that the divisor
+    uses the train batch size; pass it as `denom`.  When `denom` is None it
+    defaults to N * batch (exact only when rows_per_file == 1, i.e. one FIM
+    sample per file; multi-row callers must pass num_fisher_img * batch).
     """
     n = noises.shape[0]
     keys = jax.random.split(rng, n)
-    fn = _get_accum_fn(gcfg, dcfg, n, float(n * batch))
+    if denom is None:
+        denom = float(n * batch)
+    fn = _get_accum_fn(gcfg, dcfg, n, float(denom))
     return fn(g_ema, d_ema, noises, reals, keys)
 
 
@@ -179,6 +188,7 @@ def fisher_round(
     batch: int,
     fisher_quantile: float,
     prune_quantile: float,
+    denom: float | None = None,
 ) -> Tuple:
     """Full Fisher round (`:213-393`): FIM accumulation + mask decisions.
 
@@ -186,7 +196,7 @@ def fisher_round(
     prune masks monotonically (`masks.merge_prune`).
     """
     fim_g, fim_d = accumulate_fims(
-        gcfg, dcfg, g_ema, d_ema, noises, reals, rng, batch=batch
+        gcfg, dcfg, g_ema, d_ema, noises, reals, rng, batch=batch, denom=denom
     )
     return masks_from_fims(
         fim_g, fim_d, fisher_quantile=fisher_quantile, prune_quantile=prune_quantile

@@ -255,7 +255,10 @@ def run_iteration(phases, state, real_img, key, i: int, tcfg):
 
     metrics["path"] = jnp.zeros((), jnp.float32)
     metrics["path_length"] = jnp.zeros((), jnp.float32)
-    if i % tcfg.g_reg_every == 0:
+    # The reference gates the whole path phase on `g_regularize and
+    # i >= args.warmup_iter` (`:546`): during warmup neither params NOR the
+    # mean_path_length EMA advance, so skip the phase entirely.
+    if i % tcfg.g_reg_every == 0 and i >= tcfg.warmup_iter:
         state, path_val, path_len = phases["path"](state, k_p, warmup)
         metrics["path"] = path_val
         metrics["path_length"] = path_len

@@ -1,0 +1,42 @@
+"""Evaluator smoke test (CPU): one tiny eval with FID+KID on the NHWC trunk.
+
+The full-size eval protocol (5000 samples) runs only on TPU (bench.py); this
+pins the in-training Evaluator wiring -- scan dispatch, real-stat caching,
+layout-converted params, KID subsets -- on shapes a 1-core host can afford.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rick_tpu.metrics.evaluator import Evaluator
+from rick_tpu.metrics.inception import inception_init
+from rick_tpu.nn import GeneratorConfig, generator_init
+
+
+@pytest.mark.slow
+def test_evaluator_fid_kid_smoke_nhwc():
+    import jax
+
+    gcfg = GeneratorConfig(size=16)
+    g_params = generator_init(jax.random.key(0), gcfg)
+    real = np.random.default_rng(0).uniform(-1, 1, (8, 3, 16, 16)).astype(np.float32)
+
+    ev = Evaluator(
+        gcfg,
+        fid_real_samples=real,
+        inception_nsamples=8,
+        batch_size=8,
+        gen_batch=4,
+        inception_params=inception_init(seed=0),
+        inception_nhwc=True,
+        seed=1,
+    )
+    score = ev.compute_inception_score(g_params, fid=True, kid=True)
+    assert np.isfinite(score["fid"]) and score["fid"] >= 0.0
+    assert np.isfinite(score["kid"])
+
+    # real-side stats are cached from the layout-converted params
+    assert ev._real_acts.shape == (8, 2048)
+    assert np.isfinite(ev._real_acts).all()

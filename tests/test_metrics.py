@@ -143,3 +143,14 @@ def test_frechet_device_matches_scipy():
     ref = calculate_frechet_distance(mu1, s1, mu2, s2)
     dev = calculate_frechet_distance_device(mu1, s1, mu2, s2)
     np.testing.assert_allclose(dev, ref, rtol=1e-3)
+
+
+def test_inception_pool3_nhwc_matches_nchw(inc_params):
+    """The NHWC trunk (TPU conv layout) is the same function as NCHW up to fp
+    reassociation -- same resize, normalization, convs, pools."""
+    from rick_tpu.metrics.inception import params_to_nhwc
+
+    x = jnp.asarray(_imgs(2, seed=3))
+    a_nchw = np.asarray(inception_pool3(inc_params, x))
+    a_nhwc = np.asarray(inception_pool3(params_to_nhwc(inc_params), x, nhwc=True))
+    np.testing.assert_allclose(a_nchw, a_nhwc, rtol=2e-3, atol=2e-5)

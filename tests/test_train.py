@@ -273,3 +273,74 @@ def test_short_training_run_with_fisher():
         np.asarray(state["g_ema"]["convs"][0]["conv"]["weight"]),
         np.asarray(state["g"]["convs"][0]["conv"]["weight"]),
     )
+
+
+def test_path_phase_skipped_during_warmup():
+    """Reference gates the WHOLE path phase on `g_regularize and
+    i >= args.warmup_iter` (train_dynamic_update_prune.py:546): during warmup
+    the mean_path_length EMA must not advance."""
+    gcfg = GeneratorConfig(size=16)
+    dcfg = DiscriminatorConfig(size=16)
+    tcfg = TrainConfig(batch=2, augment=False, warmup_iter=5, g_reg_every=2)
+    state = init_train_state(jax.random.key(0), gcfg, dcfg, tcfg)
+    phases = make_train_step(gcfg, dcfg, tcfg)
+    rng = jax.random.key(1)
+
+    for i in range(4):  # i=0,2 hit g_reg_every but are inside warmup
+        rng, k1, k2 = jax.random.split(rng, 3)
+        real = jax.random.normal(k1, (2, 3, 16, 16))
+        state, m = run_iteration(phases, state, real, k2, i, tcfg)
+        assert float(m["path"]) == 0.0, i
+    assert float(state["mean_path_length"]) == 0.0
+
+    # first post-warmup multiple of g_reg_every advances the EMA
+    for i in range(4, 7):
+        rng, k1, k2 = jax.random.split(rng, 3)
+        real = jax.random.normal(k1, (2, 3, 16, 16))
+        state, m = run_iteration(phases, state, real, k2, i, tcfg)
+    assert float(state["mean_path_length"]) != 0.0
+
+
+def test_load_fisher_noises_keeps_all_rows(tmp_path):
+    """Multi-row `_noise/{j}.pt` files contribute one FIM sample PER ROW
+    (train_dynamic_update_prune.py:230), not one flattened latent."""
+    from rick_tpu.ckpt import save_torch_file
+    from rick_tpu.cli.train import load_fisher_noises
+
+    rng = np.random.default_rng(0)
+    f0 = rng.standard_normal((3, 8)).astype(np.float32)  # 3 rows
+    f1 = rng.standard_normal((1, 8)).astype(np.float32)
+    save_torch_file(f0, str(tmp_path / "0000.pt"))
+    save_torch_file(f1, str(tmp_path / "0001.pt"))
+
+    noises, rows = load_fisher_noises(str(tmp_path), 3, latent=8, batch=4)
+    assert rows == [3, 1, 1]  # third file missing -> 1 fallback row
+    assert noises.shape == (5, 8)
+    np.testing.assert_array_equal(noises[:3], f0)
+    np.testing.assert_array_equal(noises[3:4], f1)
+
+    # rows beyond the train batch cannot be paired with a real image
+    save_torch_file(rng.standard_normal((5, 8)).astype(np.float32), str(tmp_path / "0002.pt"))
+    with pytest.raises(ValueError):
+        load_fisher_noises(str(tmp_path), 3, latent=8, batch=4)
+
+
+def test_accumulate_fims_denom_override():
+    """`denom` rescales the averaged FIM exactly (reference divides by
+    num_fisher_img * args.batch regardless of total row count, `:266-269`)."""
+    from rick_tpu.train.fisher import accumulate_fims
+
+    gcfg = GeneratorConfig(size=16)
+    dcfg = DiscriminatorConfig(size=16)
+    state = init_train_state(jax.random.key(0), gcfg, dcfg, TrainConfig(batch=2))
+    z = jax.random.normal(jax.random.key(1), (2, 512))
+    real = jax.random.normal(jax.random.key(2), (2, 3, 16, 16))
+    k = jax.random.key(3)
+
+    fim_a, _ = accumulate_fims(gcfg, dcfg, state["g_ema"], state["d_ema"], z, real, k, batch=2)
+    fim_b, _ = accumulate_fims(
+        gcfg, dcfg, state["g_ema"], state["d_ema"], z, real, k, batch=2, denom=8.0
+    )
+    a = np.asarray(fim_a["convs"][0]["conv"]["weight"])
+    b = np.asarray(fim_b["convs"][0]["conv"]["weight"])
+    np.testing.assert_allclose(a, b * 2.0, rtol=1e-6)  # default denom = 2*2 = 4
