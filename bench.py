@@ -1,12 +1,18 @@
 """Benchmark: full-recipe projection on real TPU hardware.
 
-Measures (1) steady-state training iteration time at the reference recipe's
-batch size with ADA on, per phase mix (12/16 plain, 3/16 +path, 1/16 r1+path),
-(2) EMA-generator sampling + InceptionV3 throughput for the in-loop FID@5k
-evals, and (3) a Fisher-round cost; projects the FFHQ->Babies recipe
-(1750 iters, fisher every 50, FID@5k every 50 -- README.md:95-102) and prints
-ONE json line.  vs_baseline = 15 min north-star / projected minutes (>1 beats
-the target).
+Default mode measures (1) steady-state training iteration time at the
+reference recipe's batch size with ADA on, per phase mix (12/16 plain, 3/16
++path, 1/16 r1+path), (2) EMA-generator sampling + InceptionV3 throughput for
+the in-loop FID@5k evals, and (3) a Fisher-round cost; projects the
+FFHQ->Babies recipe (1750 iters, fisher every 50, FID@5k every 50 --
+README.md:95-102) and prints ONE json line.  vs_baseline = 15 min north-star /
+projected minutes (>1 beats the target).
+
+`python bench.py --e2e` MEASURES the recipe instead of projecting it: it
+builds a synthetic 10-shot dataset + 5000-image test set, runs the actual
+train CLI subprocess end-to-end with the README flags (samples, checkpoints,
+FID@5k every 50 iters), SIGKILLs it mid-run and resumes with --auto_resume to
+prove crash recovery, and reports the measured wall-clock as the json line.
 """
 
 from __future__ import annotations
@@ -141,5 +147,130 @@ def main():
     )
 
 
+def _build_synthetic_dataset(root: str, n_train: int = 10, n_test: int = 5000, size: int = 256):
+    """Record stores of PNG blobs matching the CLI's expected layout."""
+    import io
+    import os
+
+    from PIL import Image
+
+    from rick_tpu.data.store import RecordStoreWriter
+
+    rng = np.random.default_rng(0)
+
+    def write(path, n, seed0):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with RecordStoreWriter(path) as w:
+            for i in range(n):
+                # smooth-ish random images (pure noise is pathological for PNG)
+                small = rng.integers(0, 255, (size // 8, size // 8, 3), dtype=np.uint8)
+                img = Image.fromarray(small).resize((size, size), Image.BILINEAR)
+                buf = io.BytesIO()
+                img.save(buf, format="PNG", compress_level=1)
+                w.put(i, buf.getvalue())
+
+    write(os.path.join(root, "_processed_train", "babies"), n_train, 0)
+    write(os.path.join(root, "_processed_test", "babies"), n_test, 1)
+
+
+def e2e():
+    """Measured (not projected) FFHQ->Babies recipe wall-clock, with a
+    mid-run SIGKILL + --auto_resume to prove recovery under fire."""
+    import os
+    import signal
+    import subprocess
+    import sys
+
+    root = "/tmp/rick_e2e"
+    out_root = os.path.join(root, "_output")
+    exp_dir = os.path.join(out_root, "e2e")
+    stats_path = os.path.join(exp_dir, "stats.jsonl")
+    import shutil
+
+    shutil.rmtree(out_root, ignore_errors=True)
+
+    t0 = time.time()
+    if not os.path.exists(os.path.join(root, "_processed_test", "babies")):
+        _build_synthetic_dataset(root)
+    prep_s = time.time() - t0
+
+    cmd = [
+        sys.executable, "-m", "rick_tpu.cli.train",
+        "--exp", "e2e", "--data_path", "babies",
+        "--data_root", root, "--output_root", out_root,
+        "--size", "256", "--batch", "2", "--iter", "1750",
+        "--augment", "--warmup_iter", "250",
+        "--fisher_freq", "50", "--fisher_quantile", "40",
+        "--prune_quantile", "0.1", "--num_fisher_img", "5",
+        "--eval_in_training", "--eval_in_training_freq", "50",
+        "--n_sample_test", "5000",
+        "--store_samples", "--samples_freq", "500",
+        "--store_checkpoints", "--checkpoints_freq", "500",
+        "--auto_resume",
+    ]
+
+    def last_iter():
+        try:
+            with open(stats_path) as f:
+                lines = f.readlines()
+            for line in reversed(lines):
+                rec = json.loads(line)
+                if "step" in rec:
+                    return int(rec["step"])
+        except (OSError, ValueError):
+            pass
+        return -1
+
+    log = open("/tmp/rick_e2e_train.log", "w")
+    t_train0 = time.time()
+    proc = subprocess.Popen(cmd, stdout=log, stderr=subprocess.STDOUT)
+    # kill after the 500-iter checkpoint exists and progress passed 700
+    killed_at = None
+    while proc.poll() is None:
+        time.sleep(10)
+        it = last_iter()
+        if killed_at is None and it >= 700:
+            proc.send_signal(signal.SIGKILL)
+            proc.wait()
+            killed_at = it
+            break
+    if killed_at is None and proc.returncode not in (0, None):
+        raise RuntimeError(f"train run failed rc={proc.returncode}, see /tmp/rick_e2e_train.log")
+
+    # resume (auto_resume picks the newest .state.npz, i.e. iter 500)
+    proc = subprocess.Popen(cmd, stdout=log, stderr=subprocess.STDOUT)
+    rc = proc.wait()
+    log.close()
+    wall_s = time.time() - t_train0
+    if rc != 0:
+        raise RuntimeError(f"resumed run failed rc={rc}, see /tmp/rick_e2e_train.log")
+
+    final_it = last_iter()
+    wall_min = wall_s / 60.0
+    print(
+        json.dumps(
+            {
+                "metric": "MEASURED FFHQ->Babies recipe wall-clock (1750 iters + 36x FID@5k, "
+                          "incl. mid-run SIGKILL at ~700 + auto-resume from 500)",
+                "value": round(wall_min, 2),
+                "unit": "minutes",
+                "vs_baseline": round(15.0 / wall_min, 3),
+                "detail": {
+                    "killed_at_iter": killed_at,
+                    "final_iter": final_it,
+                    "replayed_iters": (killed_at - 500) if killed_at else 0,
+                    "dataset_prep_s": round(prep_s, 1),
+                    "train_log": "/tmp/rick_e2e_train.log",
+                },
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--e2e" in sys.argv:
+        e2e()
+    else:
+        main()

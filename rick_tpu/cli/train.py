@@ -83,6 +83,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--eval_bf16", action="store_true",
                    help="bfloat16 InceptionV3 feature extraction during eval")
+    p.add_argument("--eval_nhwc", action="store_true",
+                   help="run the eval InceptionV3 trunk in NHWC (TPU conv layout)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute for the D/G adversarial phases "
+                        "(params/optimizer/regularizers stay f32)")
     p.add_argument("--resume", type=str, default="")
     p.add_argument("--auto_resume", action="store_true",
                    help="resume from the latest .state.npz in the checkpoint dir")
@@ -200,6 +205,7 @@ def main(argv=None):
         num_fisher_img=args.num_fisher_img,
         fisher_quantile=args.fisher_quantile,
         prune_quantile=args.prune_quantile,
+        bf16=args.bf16,
     )
 
     # ---- data (`:789-843`)
@@ -297,6 +303,7 @@ def main(argv=None):
             batch_size=max(args.batch, 25),
             n_sample_store=args.n_sample_store,
             inception_dtype=jnp.bfloat16 if args.eval_bf16 else jnp.float32,
+            inception_nhwc=args.eval_nhwc,
         )
         x_real = get_nsamples(train_ds, 10)
         save_image_grid(x_real, os.path.join(args.output_path, "real.png"), nrow=5)

@@ -118,6 +118,7 @@ def modulated_conv2d_apply(
     upsample: bool = False,
     downsample: bool = False,
     blur_kernel: Sequence[int] = (1, 3, 3, 1),
+    _defer_demod: bool = False,
 ):
     """Style-modulated conv via the scale-input / demod-output identity.
 
@@ -168,6 +169,9 @@ def modulated_conv2d_apply(
             out = out * demod[:, :, None, None]
     else:
         out = conv2d(xs, weight, stride=1, padding=kh // 2)
+        if _defer_demod and demodulate:
+            # caller fuses demod into its epilogue (Pallas path)
+            return out, demod
         if demodulate:
             out = out * demod[:, :, None, None]
 
@@ -191,7 +195,32 @@ def styled_conv_init(key, in_ch, out_ch, kernel_size, style_dim):
 
 def styled_conv_apply(params, x, style, noise, *, upsample=False, blur_kernel=(1, 3, 3, 1)):
     """StyledConv = ModulatedConv2d + NoiseInjection + FusedLeakyReLU
-    (`model_probe_tune.py:314-348`). `noise` is (B,1,H,W) or None."""
+    (`model_probe_tune.py:314-348`). `noise` is (B,1,H,W) or None.
+
+    RICK_PALLAS_EPILOGUE=1 fuses demod + noise + bias + lrelu into one Pallas
+    VMEM pass on the non-upsample path (opt-in; see ops/pallas_kernels.py for
+    the measured comparison vs XLA's automatic fusion)."""
+    import os
+
+    if (
+        not upsample
+        and noise is not None
+        and os.environ.get("RICK_PALLAS_EPILOGUE") == "1"
+    ):
+        from rick_tpu.ops.pallas_kernels import modconv_epilogue_pallas
+
+        out, demod = modulated_conv2d_apply(
+            params["conv"], x, style, demodulate=True, blur_kernel=blur_kernel,
+            _defer_demod=True,
+        )
+        return modconv_epilogue_pallas(
+            out, demod, noise.astype(out.dtype),
+            params["noise_weight"].astype(out.dtype),
+            params["act_bias"].astype(out.dtype),
+            0.2, 2.0**0.5,
+            jax.default_backend() == "cpu",  # interpret mode off-TPU
+        )
+
     out = modulated_conv2d_apply(
         params["conv"], x, style, demodulate=True, upsample=upsample, blur_kernel=blur_kernel
     )

@@ -19,7 +19,7 @@ from rick_tpu.ops.resample import (
     downsample2d,
     blur,
 )
-from rick_tpu.ops.fused_act import fused_leaky_relu, scaled_leaky_relu
+from rick_tpu.ops.fused_act import fused_leaky_relu, fused_leaky_relu_kml, scaled_leaky_relu
 
 __all__ = [
     "upfirdn2d",
@@ -29,5 +29,6 @@ __all__ = [
     "downsample2d",
     "blur",
     "fused_leaky_relu",
+    "fused_leaky_relu_kml",
     "scaled_leaky_relu",
 ]

@@ -52,3 +52,13 @@ def fused_leaky_relu(x, bias=None, negative_slope: float = 0.2, scale: float = _
 def scaled_leaky_relu(x, negative_slope: float = 0.2):
     """Mirror of `ScaledLeakyReLU` (`model_probe_tune.py:176-185`): no bias, gain sqrt(2)."""
     return jnp.where(x >= 0, x, x * negative_slope) * _SQRT2
+
+
+def fused_leaky_relu_kml(x, bias, b_vector=None, negative_slope: float = 0.2, scale: float = _SQRT2):
+    """KML (kernel-modulation) variant: the activation bias is `bias + b_vector`
+    when the additive learned vector is in play, else plain `bias`
+    (`op/fused_act.py:85-103`; unused by the reference trainer, kept for
+    API-surface parity).  In JAX "requires_grad" is a property of the call
+    site, so pass b_vector=None for the frozen path."""
+    eff = bias if b_vector is None else bias + b_vector
+    return fused_leaky_relu(x, eff, negative_slope, scale)

@@ -131,3 +131,86 @@ def _fba_bwd_rule(slope, scale, interpret, res, g):
 
 
 fused_bias_act_pallas.defvjp(_fba_fwd_rule, _fba_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# modconv epilogue: demod * out + noise_weight * noise + bias -> lrelu -> gain
+# ---------------------------------------------------------------------------
+#
+# SURVEY par. 7.2 step 9's fusion target: the chain after every non-upsample
+# modulated conv (`model_probe_tune.py:243-284` epilogue + NoiseInjection +
+# FusedLeakyReLU, `:287-348`) in ONE VMEM pass.  XLA fuses the same chain into
+# one elementwise fusion automatically; this kernel exists to measure whether
+# hand control wins (see ROUND2.md for numbers) and is gated opt-in via
+# RICK_PALLAS_EPILOGUE=1 in nn/blocks.styled_conv_apply.
+
+
+def _epi_fwd_kernel(out_ref, dem_ref, noi_ref, b_ref, nw_ref, o_ref, *, slope, scale):
+    v = (
+        out_ref[0]  # (TC, TS)
+        * dem_ref[0][:, None]
+        + nw_ref[0, 0] * noi_ref[0][None, :]
+        + b_ref[0][:, None]
+    )
+    o_ref[0] = jnp.where(v >= 0, v, v * slope) * scale
+
+
+def _epi_forward(out, demod, noise, noise_weight, bias, slope, scale, interpret):
+    B, C, H, W = out.shape
+    S = H * W
+    o2 = out.reshape(B, C, S)
+    n2 = noise.reshape(B, S)
+    b2 = bias.reshape(1, C)
+    nw = noise_weight.reshape(1, 1)
+    TC = min(256, C)
+    TS = min(512, S)
+    grid = (B, _cdiv(C, TC), _cdiv(S, TS))
+    y = pl.pallas_call(
+        functools.partial(_epi_fwd_kernel, slope=slope, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((B, C, S), out.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TC, TS), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TC), lambda b, i, j: (b, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TS), lambda b, i, j: (b, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TC), lambda b, i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TC, TS), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(o2, demod, n2, b2, nw)
+    return y.reshape(B, C, H, W)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def modconv_epilogue_pallas(
+    out, demod, noise, noise_weight, bias,
+    slope: float = 0.2, scale: float = 2.0**0.5, interpret: bool = False,
+):
+    """y = leaky_relu(out * demod[b,c] + nw * noise[b,1,h,w] + bias[c]) * scale.
+
+    Forward is one Pallas VMEM pass; backward re-derives the activation sign
+    from the OUTPUT (the reference CUDA kernel's grad `ref` trick,
+    `op/fused_bias_act_kernel.cu:36-45`) and runs as plain jnp (one XLA
+    elementwise fusion + the four reductions autodiff would emit anyway).
+    """
+    return _epi_forward(out, demod, noise, noise_weight, bias, slope, scale, interpret)
+
+
+def _epi_fwd_rule(out, demod, noise, noise_weight, bias, slope, scale, interpret):
+    y = _epi_forward(out, demod, noise, noise_weight, bias, slope, scale, interpret)
+    return y, (y, out, demod, noise, noise_weight)
+
+
+def _epi_bwd_rule(slope, scale, interpret, res, g):
+    y, out, demod, noise, noise_weight = res
+    g_pre = jnp.where(y >= 0, g, g * slope) * scale
+    d_out = g_pre * demod[:, :, None, None]
+    d_demod = jnp.sum(g_pre * out, axis=(2, 3))
+    d_noise = (noise_weight * jnp.sum(g_pre, axis=1, keepdims=True)).astype(noise.dtype)
+    d_nw = jnp.sum(g_pre * noise)
+    d_bias = jnp.sum(g_pre, axis=(0, 2, 3))
+    return d_out, d_demod, d_noise, d_nw.reshape(()), d_bias
+
+
+modconv_epilogue_pallas.defvjp(_epi_fwd_rule, _epi_bwd_rule)

@@ -50,6 +50,10 @@ class TrainConfig:
     fisher_quantile: float = 40.0
     prune_quantile: float = 0.1
     ema_kimg: float = 10.0  # accum = 0.5 ** (32 / (10 * 1000)), `:180`
+    # bf16 compute for the D/G adversarial phases (params, grads, optimizer,
+    # EMA and the R1/path regularizers stay f32).  TPU-native mixed precision;
+    # no reference equivalent (the reference trains pure f32).
+    bf16: bool = False
 
     @property
     def g_reg_ratio(self) -> float:

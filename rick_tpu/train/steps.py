@@ -82,6 +82,11 @@ def _g_active(g_params, warmup):
 
 def make_train_step(gcfg, dcfg, tcfg):
     """Build the phase functions; returns a dict of jitted callables."""
+    # bf16 compute dtype for the adversarial phases: params stay f32 (casts
+    # inside the apply fns produce f32 grads), predictions are cast back to
+    # f32 before the softplus losses, and the grad-of-grad regularizer phases
+    # (R1, path) plus ADA stay f32 for numerical fidelity.
+    cdt = jnp.bfloat16 if getattr(tcfg, "bf16", False) else jnp.float32
 
     def d_phase(state, real_img, key, warmup):
         keys = jax.random.split(key, 4)
@@ -89,8 +94,8 @@ def make_train_step(gcfg, dcfg, tcfg):
         metrics: Dict[str, jnp.ndarray] = {}
 
         latent = _sample_latent(gcfg, tcfg, state["g"], keys[0], batch)
-        fake, _ = generator_apply_latent(gcfg, state["g"], latent, rng=keys[1])
-        fake = jax.lax.stop_gradient(fake)
+        fake, _ = generator_apply_latent(gcfg, state["g"], latent, rng=keys[1], dtype=cdt)
+        fake = jax.lax.stop_gradient(fake).astype(jnp.float32)
 
         if tcfg.augment:
             # one warp call for real+fake: per-image transforms are independent,
@@ -105,8 +110,10 @@ def make_train_step(gcfg, dcfg, tcfg):
             real_aug, fake_aug = real_img, fake
 
         def d_loss_fn(dp):
-            fake_pred, _ = discriminator_apply(dcfg, dp, fake_aug)
-            real_pred, _ = discriminator_apply(dcfg, dp, real_aug)
+            fake_pred, _ = discriminator_apply(dcfg, dp, fake_aug, dtype=cdt)
+            real_pred, _ = discriminator_apply(dcfg, dp, real_aug, dtype=cdt)
+            real_pred = real_pred.astype(jnp.float32)
+            fake_pred = fake_pred.astype(jnp.float32)
             return d_logistic_loss(real_pred, fake_pred), (real_pred, fake_pred)
 
         (d_loss, (real_pred, fake_pred)), d_grads = jax.value_and_grad(
@@ -168,11 +175,12 @@ def make_train_step(gcfg, dcfg, tcfg):
 
         def g_loss_fn(gp):
             lat = _sample_latent(gcfg, tcfg, gp, keys[0], tcfg.batch)
-            fk, _ = generator_apply_latent(gcfg, gp, lat, rng=keys[1])
+            fk, _ = generator_apply_latent(gcfg, gp, lat, rng=keys[1], dtype=cdt)
+            fk = fk.astype(jnp.float32)  # ADA warp + D input in f32
             if tcfg.augment:
                 fk, _ = augment(keys[2], fk, ada_p, margin=tcfg.ada_margin)
-            pred, _ = discriminator_apply(dcfg, state["d"], fk)
-            return g_nonsaturating_loss(pred)
+            pred, _ = discriminator_apply(dcfg, state["d"], fk, dtype=cdt)
+            return g_nonsaturating_loss(pred.astype(jnp.float32))
 
         g_loss, g_grads = jax.value_and_grad(g_loss_fn)(state["g"])
         g_grads = mask_g_grads(g_grads, state["g_freeze"], state["g_prune"])

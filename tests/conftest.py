@@ -12,7 +12,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# 8-thread collectives on a 1-core host starve under load; the default
+# rendezvous watchdog then ABORTS the process.  Give it an hour.
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
+    _flags += (
+        " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+        " --xla_cpu_collective_timeout_seconds=3600"
+    )
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 

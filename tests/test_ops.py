@@ -159,3 +159,22 @@ def test_upfirdn2d_separable_matches_2d(updown):
     a = upfirdn2d_separable(x, k1, up=up, down=down, pad=(2, 1))
     b = upfirdn2d(x, k2, up=up, down=down, pad=(2, 1))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_leaky_relu_kml_variant():
+    """KML variant (`op/fused_act.py:85-103`): bias + b_vector when the
+    additive vector is active, plain bias otherwise."""
+    import jax.numpy as jnp
+    from rick_tpu.ops import fused_leaky_relu, fused_leaky_relu_kml
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 4, 8, 8)), jnp.float32)
+    b = jnp.asarray(np.random.default_rng(1).standard_normal(4), jnp.float32)
+    bv = jnp.asarray(np.random.default_rng(2).standard_normal(4), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(fused_leaky_relu_kml(x, b, bv)),
+        np.asarray(fused_leaky_relu(x, b + bv)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fused_leaky_relu_kml(x, b, None)),
+        np.asarray(fused_leaky_relu(x, b)),
+    )

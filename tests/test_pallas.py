@@ -48,3 +48,77 @@ def test_fused_bias_act_pallas_ragged_tiles():
     got = fused_bias_act_pallas(x, b, 0.2, 2.0**0.5, True)
     want = fused_leaky_relu(x, b)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# modconv epilogue fusion
+# ---------------------------------------------------------------------------
+
+
+def _epilogue_jnp(out, demod, noise, nw, bias):
+    from rick_tpu.ops.fused_act import fused_leaky_relu
+
+    v = out * demod[:, :, None, None] + nw * noise
+    return fused_leaky_relu(v, bias)
+
+
+@pytest.mark.parametrize("shape", [(2, 8, 16, 16), (3, 5, 7, 9)])
+def test_modconv_epilogue_pallas_matches_jnp(shape):
+    from rick_tpu.ops.pallas_kernels import modconv_epilogue_pallas
+
+    B, C, H, W = shape
+    out = jnp.asarray(_rand(shape))
+    demod = jnp.asarray(np.abs(_rand((B, C), 1)) + 0.1)
+    noise = jnp.asarray(_rand((B, 1, H, W), 2))
+    nw = jnp.asarray(0.7, jnp.float32)
+    bias = jnp.asarray(_rand((C,), 3))
+    got = modconv_epilogue_pallas(out, demod, noise, nw, bias, 0.2, 2.0**0.5, True)
+    want = _epilogue_jnp(out, demod, noise, nw, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
+
+
+def test_modconv_epilogue_pallas_grads_match():
+    from rick_tpu.ops.pallas_kernels import modconv_epilogue_pallas
+
+    B, C, H, W = 2, 4, 8, 8
+    out = jnp.asarray(_rand((B, C, H, W)))
+    demod = jnp.asarray(np.abs(_rand((B, C), 1)) + 0.1)
+    noise = jnp.asarray(_rand((B, 1, H, W), 2))
+    nw = jnp.asarray(0.7, jnp.float32)
+    bias = jnp.asarray(_rand((C,), 3))
+
+    def loss_p(*a):
+        return jnp.sum(modconv_epilogue_pallas(*a, 0.2, 2.0**0.5, True) ** 2)
+
+    def loss_j(*a):
+        return jnp.sum(_epilogue_jnp(*a) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2, 3, 4))(out, demod, noise, nw, bias)
+    gj = jax.grad(loss_j, argnums=(0, 1, 2, 3, 4))(out, demod, noise, nw, bias)
+    for p, j in zip(gp, gj):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(j), rtol=1e-5, atol=1e-5)
+
+
+def test_styled_conv_pallas_epilogue_env_path(monkeypatch):
+    """RICK_PALLAS_EPILOGUE=1 produces the same StyledConv output and grads as
+    the default XLA path (interpret mode on CPU)."""
+    from rick_tpu.nn.blocks import styled_conv_apply, styled_conv_init
+
+    params = styled_conv_init(jax.random.key(0), 8, 8, 3, 16)
+    x = jnp.asarray(_rand((2, 8, 8, 8)))
+    style = jnp.asarray(_rand((2, 16), 1))
+    noise = jnp.asarray(_rand((2, 1, 8, 8), 2))
+
+    want = styled_conv_apply(params, x, style, noise)
+    monkeypatch.setenv("RICK_PALLAS_EPILOGUE", "1")
+    got = styled_conv_apply(params, x, style, noise)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+    def loss(p):
+        return jnp.sum(styled_conv_apply(p, x, style, noise) ** 2)
+
+    g_pallas = jax.grad(loss)(params)
+    monkeypatch.delenv("RICK_PALLAS_EPILOGUE")
+    g_xla = jax.grad(loss)(params)
+    for kp, kx in zip(jax.tree.leaves(g_pallas), jax.tree.leaves(g_xla)):
+        np.testing.assert_allclose(np.asarray(kp), np.asarray(kx), rtol=1e-4, atol=1e-5)

@@ -344,3 +344,34 @@ def test_accumulate_fims_denom_override():
     a = np.asarray(fim_a["convs"][0]["conv"]["weight"])
     b = np.asarray(fim_b["convs"][0]["conv"]["weight"])
     np.testing.assert_allclose(a, b * 2.0, rtol=1e-6)  # default denom = 2*2 = 4
+
+
+def test_bf16_training_tracks_f32_trajectory():
+    """bf16 adversarial phases (params f32, compute bf16) stay close to the
+    f32 trajectory over a short run: same phase structure, losses finite, and
+    the first-iteration losses agree to bf16 tolerance."""
+    gcfg = GeneratorConfig(size=16)
+    dcfg = DiscriminatorConfig(size=16)
+    base = dict(batch=2, augment=False, warmup_iter=0, g_reg_every=2, d_reg_every=2)
+
+    trajs = {}
+    for bf16 in (False, True):
+        tcfg = TrainConfig(bf16=bf16, **base)
+        state = init_train_state(jax.random.key(0), gcfg, dcfg, tcfg)
+        phases = make_train_step(gcfg, dcfg, tcfg)
+        rng = jax.random.key(1)
+        losses = []
+        for i in range(6):
+            rng, k1, k2 = jax.random.split(rng, 3)
+            real = jax.random.normal(k1, (2, 3, 16, 16))
+            state, m = run_iteration(phases, state, real, k2, i, tcfg)
+            losses.append((float(m["d"]), float(m["g"])))
+            for k, v in m.items():
+                assert np.isfinite(float(v)), (bf16, i, k)
+        trajs[bf16] = np.asarray(losses)
+
+    # identical inputs + identical f32 params at i=0: only compute dtype
+    # differs, so first-step losses agree to bf16 rounding (~1e-2 relative)
+    np.testing.assert_allclose(trajs[True][0], trajs[False][0], rtol=0.05, atol=0.05)
+    # trajectories stay in the same regime (no divergence/blowup)
+    assert np.all(np.abs(trajs[True]) < 50.0)
