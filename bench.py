@@ -55,11 +55,14 @@ def main():
     rng = jax.random.key(1)
     real = jax.random.normal(jax.random.key(2), (BATCH, 3, SIZE, SIZE))
 
-    # warm up all phase compilations (i=0 triggers r1+path).
+    # warm up all phase compilations at i=16..18: i=16 triggers BOTH lazy
+    # phases (r1 at i%16==0, path at i%4==0 with i>=warmup_iter).  The path
+    # phase is warmup-gated (ref :546), so warming at i=0 would silently leave
+    # its multi-second compile inside the timed region.
     # NOTE: timings sync by fetching a VALUE -- block_until_ready returns
     # before execution completes on this backend.
     m = None
-    for i in range(3):
+    for i in (16, 17, 18):
         rng, k = jax.random.split(rng)
         state, m = run_iteration(phases, state, real, k, i, tcfg)
     float(m["d"])

@@ -193,6 +193,24 @@ def styled_conv_init(key, in_ch, out_ch, kernel_size, style_dim):
     }
 
 
+_PALLAS_EPILOGUE_OK = True  # trace-time gate; see no_pallas_epilogue()
+
+
+class no_pallas_epilogue:
+    """Trace-time context disabling the Pallas epilogue: custom_vjp kernels do
+    not support grad-of-grad, so double-backward phases (path-length reg)
+    trace the plain XLA formulation even under RICK_PALLAS_EPILOGUE=1."""
+
+    def __enter__(self):
+        global _PALLAS_EPILOGUE_OK
+        self._prev = _PALLAS_EPILOGUE_OK
+        _PALLAS_EPILOGUE_OK = False
+
+    def __exit__(self, *exc):
+        global _PALLAS_EPILOGUE_OK
+        _PALLAS_EPILOGUE_OK = self._prev
+
+
 def styled_conv_apply(params, x, style, noise, *, upsample=False, blur_kernel=(1, 3, 3, 1)):
     """StyledConv = ModulatedConv2d + NoiseInjection + FusedLeakyReLU
     (`model_probe_tune.py:314-348`). `noise` is (B,1,H,W) or None.
@@ -205,6 +223,7 @@ def styled_conv_apply(params, x, style, noise, *, upsample=False, blur_kernel=(1
     if (
         not upsample
         and noise is not None
+        and _PALLAS_EPILOGUE_OK
         and os.environ.get("RICK_PALLAS_EPILOGUE") == "1"
     ):
         from rick_tpu.ops.pallas_kernels import modconv_epilogue_pallas

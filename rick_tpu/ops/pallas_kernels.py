@@ -141,26 +141,34 @@ fused_bias_act_pallas.defvjp(_fba_fwd_rule, _fba_bwd_rule)
 # modulated conv (`model_probe_tune.py:243-284` epilogue + NoiseInjection +
 # FusedLeakyReLU, `:287-348`) in ONE VMEM pass.  XLA fuses the same chain into
 # one elementwise fusion automatically; this kernel exists to measure whether
-# hand control wins (see ROUND2.md for numbers) and is gated opt-in via
-# RICK_PALLAS_EPILOGUE=1 in nn/blocks.styled_conv_apply.
+# hand control wins.  Measured on v5e (256px batch-2 train step, phase-mix
+# avg): 108.2 ms with this kernel vs 105.0 ms XLA — XLA's automatic epilogue
+# fusion wins, same verdict as fused_bias_act above.  Gated opt-in via
+# RICK_PALLAS_EPILOGUE=1 in nn/blocks.styled_conv_apply; the double-backward
+# path phase traces the XLA formulation via blocks.no_pallas_epilogue
+# (custom_vjp kernels cannot be differentiated twice).
 
 
 def _epi_fwd_kernel(out_ref, dem_ref, noi_ref, b_ref, nw_ref, o_ref, *, slope, scale):
     v = (
         out_ref[0]  # (TC, TS)
-        * dem_ref[0][:, None]
-        + nw_ref[0, 0] * noi_ref[0][None, :]
-        + b_ref[0][:, None]
+        * dem_ref[0]  # (TC, 1) broadcast
+        + nw_ref[0, 0] * noi_ref[0]  # (1, TS) broadcast
+        + b_ref[0]  # (TC, 1) broadcast
     )
     o_ref[0] = jnp.where(v >= 0, v, v * slope) * scale
 
 
 def _epi_forward(out, demod, noise, noise_weight, bias, slope, scale, interpret):
+    # TPU tiling: every block's last two dims must be (8k, 128k) or equal the
+    # array dims, so the per-channel / per-pixel operands are shaped 3-D with
+    # a trailing/leading singleton that is ALWAYS "equal to the array dim".
     B, C, H, W = out.shape
     S = H * W
     o2 = out.reshape(B, C, S)
-    n2 = noise.reshape(B, S)
-    b2 = bias.reshape(1, C)
+    d3 = demod.reshape(B, C, 1)
+    n3 = noise.reshape(B, 1, S)
+    b3 = bias.reshape(1, C, 1)
     nw = noise_weight.reshape(1, 1)
     TC = min(256, C)
     TS = min(512, S)
@@ -171,14 +179,14 @@ def _epi_forward(out, demod, noise, noise_weight, bias, slope, scale, interpret)
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, TC, TS), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TC), lambda b, i, j: (b, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TS), lambda b, i, j: (b, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TC), lambda b, i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TC, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TS), lambda b, i, j: (b, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TC, 1), lambda b, i, j: (0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, TC, TS), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(o2, demod, n2, b2, nw)
+    )(o2, d3, n3, b3, nw)
     return y.reshape(B, C, H, W)
 
 

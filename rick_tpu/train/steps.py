@@ -192,6 +192,10 @@ def make_train_step(gcfg, dcfg, tcfg):
         return {**state, "g": g_params, "g_opt": g_opt}, g_loss
 
     def path_phase(state, key, warmup):
+        # grad-of-grad through the generator: Pallas custom_vjp kernels do not
+        # support double backward, so trace the XLA epilogue here
+        from rick_tpu.nn.blocks import no_pallas_epilogue
+
         keys = jax.random.split(key, 3)
         path_batch = max(1, tcfg.batch // tcfg.path_batch_shrink)
         mpl = state["mean_path_length"]
@@ -212,9 +216,10 @@ def make_train_step(gcfg, dcfg, tcfg):
             weighted = tcfg.path_regularize * tcfg.g_reg_every * penalty
             return weighted, (penalty, new_mpl, lengths)
 
-        (_, (path_val, new_mpl, lengths)), p_grads = jax.value_and_grad(
-            path_loss_fn, has_aux=True
-        )(state["g"])
+        with no_pallas_epilogue():
+            (_, (path_val, new_mpl, lengths)), p_grads = jax.value_and_grad(
+                path_loss_fn, has_aux=True
+            )(state["g"])
         p_grads = mask_g_grads(p_grads, state["g_freeze"], state["g_prune"])
         g_params, g_opt = adam_update(
             state["g"], p_grads, state["g_opt"], _g_active(state["g"], warmup),

@@ -122,3 +122,23 @@ def test_styled_conv_pallas_epilogue_env_path(monkeypatch):
     g_xla = jax.grad(loss)(params)
     for kp, kx in zip(jax.tree.leaves(g_pallas), jax.tree.leaves(g_xla)):
         np.testing.assert_allclose(np.asarray(kp), np.asarray(kx), rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_epilogue_path_phase_double_backward(monkeypatch):
+    """The path-length phase differentiates THROUGH a gradient; custom_vjp
+    kernels don't support that, so path_phase must trace the XLA epilogue even
+    under RICK_PALLAS_EPILOGUE=1 (trace-time no_pallas_epilogue gate)."""
+    from rick_tpu.nn import DiscriminatorConfig, GeneratorConfig
+    from rick_tpu.train import TrainConfig, init_train_state, make_train_step, run_iteration
+
+    monkeypatch.setenv("RICK_PALLAS_EPILOGUE", "1")
+    gcfg = GeneratorConfig(size=16)
+    dcfg = DiscriminatorConfig(size=16)
+    tcfg = TrainConfig(batch=2, augment=False, warmup_iter=0, g_reg_every=1, d_reg_every=1)
+    state = init_train_state(jax.random.key(0), gcfg, dcfg, tcfg)
+    phases = make_train_step(gcfg, dcfg, tcfg)
+    # i=0 runs d, r1, g AND path -- the crash case
+    state, m = run_iteration(phases, state, jax.random.normal(jax.random.key(1), (2, 3, 16, 16)),
+                             jax.random.key(2), 0, tcfg)
+    assert np.isfinite(float(m["path"]))
+    assert np.isfinite(float(m["g"]))
