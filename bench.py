@@ -178,13 +178,17 @@ def _build_synthetic_dataset(root: str, n_train: int = 10, n_test: int = 5000, s
 
 def e2e():
     """Measured (not projected) FFHQ->Babies recipe wall-clock, with a
-    mid-run SIGKILL + --auto_resume to prove recovery under fire."""
+    mid-run SIGKILL + --auto_resume to prove recovery under fire.
+
+    RICK_E2E_SMOKE=1 shrinks everything (size 64, 40 iters) to rehearse the
+    orchestration (dataset build, subprocess, kill, resume) in ~2 minutes."""
     import os
     import signal
     import subprocess
     import sys
 
-    root = "/tmp/rick_e2e"
+    smoke = os.environ.get("RICK_E2E_SMOKE") == "1"
+    root = "/tmp/rick_e2e_smoke" if smoke else "/tmp/rick_e2e"
     out_root = os.path.join(root, "_output")
     exp_dir = os.path.join(out_root, "e2e")
     stats_path = os.path.join(exp_dir, "stats.jsonl")
@@ -192,23 +196,26 @@ def e2e():
 
     shutil.rmtree(out_root, ignore_errors=True)
 
+    size, iters, warmup = (64, 40, 4) if smoke else (256, 1750, 250)
+    n_test, every, kill_after, resume_ckpt = (64, 20, 20, 20) if smoke else (5000, 50, 700, 500)
+
     t0 = time.time()
     if not os.path.exists(os.path.join(root, "_processed_test", "babies")):
-        _build_synthetic_dataset(root)
+        _build_synthetic_dataset(root, n_test=n_test, size=size)
     prep_s = time.time() - t0
 
     cmd = [
         sys.executable, "-m", "rick_tpu.cli.train",
         "--exp", "e2e", "--data_path", "babies",
         "--data_root", root, "--output_root", out_root,
-        "--size", "256", "--batch", "2", "--iter", "1750",
-        "--augment", "--warmup_iter", "250",
+        "--size", str(size), "--batch", "2", "--iter", str(iters),
+        "--augment", "--warmup_iter", str(warmup),
         "--fisher_freq", "50", "--fisher_quantile", "40",
         "--prune_quantile", "0.1", "--num_fisher_img", "5",
-        "--eval_in_training", "--eval_in_training_freq", "50",
-        "--n_sample_test", "5000",
-        "--store_samples", "--samples_freq", "500",
-        "--store_checkpoints", "--checkpoints_freq", "500",
+        "--eval_in_training", "--eval_in_training_freq", str(every),
+        "--n_sample_test", str(n_test),
+        "--store_samples", "--samples_freq", str(resume_ckpt),
+        "--store_checkpoints", "--checkpoints_freq", str(resume_ckpt),
         "--auto_resume",
     ]
 
@@ -227,12 +234,12 @@ def e2e():
     log = open("/tmp/rick_e2e_train.log", "w")
     t_train0 = time.time()
     proc = subprocess.Popen(cmd, stdout=log, stderr=subprocess.STDOUT)
-    # kill after the 500-iter checkpoint exists and progress passed 700
+    # kill after the first periodic checkpoint exists and progress passed it
     killed_at = None
     while proc.poll() is None:
-        time.sleep(10)
+        time.sleep(3 if smoke else 10)
         it = last_iter()
-        if killed_at is None and it >= 700:
+        if killed_at is None and it >= kill_after:
             proc.send_signal(signal.SIGKILL)
             proc.wait()
             killed_at = it
@@ -253,15 +260,16 @@ def e2e():
     print(
         json.dumps(
             {
-                "metric": "MEASURED FFHQ->Babies recipe wall-clock (1750 iters + 36x FID@5k, "
-                          "incl. mid-run SIGKILL at ~700 + auto-resume from 500)",
+                "metric": ("SMOKE e2e wall-clock" if smoke else
+                           "MEASURED FFHQ->Babies recipe wall-clock (1750 iters + 36x FID@5k, "
+                           "incl. mid-run SIGKILL at ~700 + auto-resume from 500)"),
                 "value": round(wall_min, 2),
                 "unit": "minutes",
                 "vs_baseline": round(15.0 / wall_min, 3),
                 "detail": {
                     "killed_at_iter": killed_at,
                     "final_iter": final_it,
-                    "replayed_iters": (killed_at - 500) if killed_at else 0,
+                    "replayed_iters": (killed_at - resume_ckpt) if killed_at else 0,
                     "dataset_prep_s": round(prep_s, 1),
                     "train_log": "/tmp/rick_e2e_train.log",
                 },
