@@ -1,0 +1,199 @@
+"""Asynchronous checkpointing: snapshot-on-device + background fetch/write.
+
+Motivation (measured, ROUND2.md): on the high-latency host<->device link a
+synchronous full-state save costs ~65 s — and the reference protocol writes
+`best.pt` on every in-training FID improvement (`train_dynamic_update_prune.py
+:670-685`), i.e. potentially every 50 iterations.  The training loop only
+needs a CONSISTENT SNAPSHOT at submit time, not a completed file:
+
+  1. `snapshot(tree)` enqueues a device-side copy (HBM bandwidth, ~ms).  The
+     copy is ordered on the device stream BEFORE any later phase reuses the
+     donated state buffers, so it is immune to donation.
+  2. A single worker thread fetches the snapshot to host (`jax.device_get`)
+     and runs the writer while training proceeds.  The queue is bounded, so
+     at most `max_pending` extra state copies live in HBM.
+
+Writers should use `atomic_write` paths (tmp + os.replace) so a kill mid-save
+(crash, preemption) never leaves a truncated checkpoint for `--auto_resume`
+to trip over.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+_SNAPSHOT_FN = None
+_PACK_FN = None
+
+
+def snapshot(tree):
+    """Device-side copy of a pytree (one jitted dispatch; donation-safe)."""
+    global _SNAPSHOT_FN
+    if _SNAPSHOT_FN is None:
+        _SNAPSHOT_FN = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
+    return _SNAPSHOT_FN(tree)
+
+
+def snapshot_packed(tree):
+    """Donation-safe device snapshot PACKED as one 1-D array per dtype.
+
+    `jax.device_get` of a large pytree issues one transfer per leaf; on a
+    ~35 ms-latency link, hundreds of leaves cost tens of seconds regardless
+    of size.  Packing makes the later fetch a handful of bandwidth-bound
+    transfers.  Returns (packed, spec); `unpack_snapshot(host_packed, spec)`
+    rebuilds the host pytree.
+    """
+    global _PACK_FN
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    spec_leaves = [(l.shape, jnp.asarray(l).dtype) for l in leaves]
+
+    if _PACK_FN is None:
+
+        def _pack(leaves_in):
+            groups = {}
+            for i, l in enumerate(leaves_in):
+                groups.setdefault(jnp.asarray(l).dtype.name, []).append(
+                    jnp.ravel(jnp.asarray(l))
+                )
+            return {k: jnp.concatenate(v) for k, v in groups.items()}
+
+        _PACK_FN = jax.jit(_pack)
+
+    packed = _PACK_FN(leaves)
+    return packed, (treedef, spec_leaves)
+
+
+def unpack_snapshot(host_packed, spec):
+    """Rebuild the host pytree from fetched packed arrays (numpy, zero-copy
+    views where possible)."""
+    import numpy as np
+
+    treedef, spec_leaves = spec
+    offsets = {k: 0 for k in host_packed}
+    leaves = []
+    for shape, dtype in spec_leaves:
+        key = dtype.name
+        n = int(np.prod(shape)) if shape else 1
+        buf = host_packed[key]
+        leaves.append(np.asarray(buf[offsets[key] : offsets[key] + n]).reshape(shape))
+        offsets[key] += n
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+class AsyncSaver:
+    """One background writer thread.
+
+    Two submission classes:
+      * `submit` — FIFO, every job runs (periodic checkpoints).  Bounded by
+        `max_pending` so at most that many snapshots sit in HBM.
+      * `submit_latest(key, ...)` — COALESCED: a newer job with the same key
+        replaces a not-yet-started older one (the dropped snapshot is freed).
+        For best.pt: when FID improves faster than the link can ship ~0.7 GB
+        checkpoints, only the newest best matters — intermediate writes would
+        be overwritten anyway.
+    """
+
+    def __init__(self, max_pending: int = 2):
+        import collections
+
+        self._cv = threading.Condition()
+        self._fifo: "collections.deque" = collections.deque()
+        self._latest: dict = {}
+        self._busy = False
+        self._closed = False
+        self._max_pending = max_pending
+        self._err: Exception | None = None
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def submit(self, fn: Callable[[Any], None], tree) -> None:
+        """Queue `fn(host_tree)`; `tree` is fetched to host in the worker.
+        Blocks only when `max_pending` FIFO saves are already queued."""
+        with self._cv:
+            while len(self._fifo) >= self._max_pending:
+                self._cv.wait()
+            self._fifo.append((fn, tree))
+            self._cv.notify_all()
+
+    def submit_packed(self, fn: Callable[[Any], None], packed, spec) -> None:
+        """FIFO submit of a `snapshot_packed` snapshot: the worker fetches a
+        handful of packed arrays (bandwidth-bound, not per-leaf-latency-bound)
+        and unpacks on host."""
+        self.submit(lambda host: fn(unpack_snapshot(host, spec)), packed)
+
+    def submit_latest_packed(self, key: str, fn: Callable[[Any], None], packed, spec) -> None:
+        """Coalesced submit: replaces any not-yet-started job with `key`."""
+        job = (lambda host: fn(unpack_snapshot(host, spec)), packed)
+        with self._cv:
+            self._latest[key] = job  # old snapshot (if any) freed here
+            self._cv.notify_all()
+
+    def _next_job(self):
+        if self._fifo:
+            return self._fifo.popleft()
+        if self._latest:
+            k = next(iter(self._latest))
+            return self._latest.pop(k)
+        return None
+
+    def _worker(self):
+        while True:
+            with self._cv:
+                job = self._next_job()
+                while job is None and not self._closed:
+                    self._cv.wait()
+                    job = self._next_job()
+                if job is None:  # closed and drained
+                    return
+                self._busy = True
+                self._cv.notify_all()
+            fn, tree = job
+            try:
+                fn(jax.device_get(tree))
+            except Exception as e:  # surfaced on wait()
+                self._err = e
+            finally:
+                with self._cv:
+                    self._busy = False
+                    self._cv.notify_all()
+
+    def wait(self):
+        """Block until all queued saves are on disk; re-raise worker errors."""
+        with self._cv:
+            while self._fifo or self._latest or self._busy:
+                self._cv.wait()
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+    def close(self):
+        self.wait()
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+        self._thread.join(timeout=60)
+
+
+class atomic_write:
+    """`with atomic_write(path) as tmp: write(tmp)` -> os.replace(tmp, path)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.tmp = path + ".tmp"
+
+    def __enter__(self) -> str:
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        return self.tmp
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is None:
+            os.replace(self.tmp, self.path)
+        elif os.path.exists(self.tmp):
+            os.remove(self.tmp)
+        return False

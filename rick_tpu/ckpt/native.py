@@ -27,12 +27,18 @@ def _flatten(tree) -> Dict[str, np.ndarray]:
 
 
 def save_state(path: str, state, *, step: int, extra: Dict[str, Any] | None = None):
+    """Atomic (tmp + rename): a kill mid-save never leaves a truncated .npz
+    for --auto_resume to trip over."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     flat = _flatten(state)
-    np.savez(path, **flat)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:  # file handle: avoids np.savez's .npz suffixing
+        np.savez(f, **flat)
+    os.replace(tmp, path)
     manifest = {"step": step, **(extra or {})}
-    with open(path + ".json", "w") as f:
+    with open(path + ".json.tmp", "w") as f:
         json.dump(manifest, f)
+    os.replace(path + ".json.tmp", path + ".json")
 
 
 def load_state(path: str, state_template) -> Tuple[Any, Dict[str, Any]]:

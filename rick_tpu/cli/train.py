@@ -235,7 +235,23 @@ def main(argv=None):
 
     mesh = make_mesh(args.n_devices or None)
     put = lambda b: shard_batch(mesh, b)
-    train_loader = data_stream(train_ds, args.batch, seed=args.seed, device_put=put)
+    # Few-shot datasets are staged whole in HBM: on this host<->device link a
+    # per-iteration 1.5 MB device_put costs ~1.3 s (vs 105 ms compute), so the
+    # per-iter batch becomes an on-device gather + flip (loader.py).  Larger
+    # datasets fall back to the host streaming/prefetch pipeline.
+    staged_bytes = len(train_ds) * 3 * args.size * args.size * 4
+    if staged_bytes <= (512 << 20):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from rick_tpu.data.loader import device_data_stream
+
+        train_loader = device_data_stream(
+            train_ds, args.batch, seed=args.seed,
+            stage_put=lambda b: replicate(mesh, b),
+            out_sharding=NamedSharding(mesh, PartitionSpec("data")),
+        )
+    else:
+        train_loader = data_stream(train_ds, args.batch, seed=args.seed, device_put=put)
 
     # ---- args.txt dump (`:845-851`)
     with open(os.path.join(args.output_path, "args.txt"), "w") as f:
@@ -293,9 +309,18 @@ def main(argv=None):
 
     # ---- evaluator (`:947-958`)
     evaluator = None
+    real_imgs_cache = os.path.join(args.output_path, "real_imgs.npy")
     if args.eval_in_training:
-        test_ds = ImageDataset(test_path, resolution=args.size, flip=True)
-        x_real_test = get_nsamples(test_ds, args.n_sample_test, seed=args.seed)
+        # real-set cache, reference parity (`gan_training/eval.py:23-25`):
+        # decoding n_sample_test PNGs costs minutes on this 1-core host, so a
+        # resumed run must not pay it twice; deleted at training end (`:198`)
+        if os.path.exists(real_imgs_cache):
+            x_real_test = np.load(real_imgs_cache)
+        else:
+            test_ds = ImageDataset(test_path, resolution=args.size, flip=True)
+            x_real_test = get_nsamples(test_ds, args.n_sample_test, seed=args.seed)
+            np.save(real_imgs_cache + ".tmp.npy", x_real_test)
+            os.replace(real_imgs_cache + ".tmp.npy", real_imgs_cache)
         evaluator = Evaluator(
             gcfg,
             fid_real_samples=x_real_test,
@@ -328,6 +353,9 @@ def main(argv=None):
         args.output_path, use_wandb=args.wandb,
         project=args.wandb_project_name, run_name=args.wandb_run_name,
     )
+    from rick_tpu.ckpt.async_io import AsyncSaver, snapshot_packed
+
+    saver = AsyncSaver(max_pending=2)
     profiler = ProfilerHook(args.profile_dir, start_iter=max(start_iter + 5, args.warmup_iter + 2))
     for i in range(start_iter, args.iter + 10 + 1):
         if i > args.iter + 10:
@@ -337,13 +365,12 @@ def main(argv=None):
         # Fisher round (`:213-393`)
         if i >= args.warmup_iter and (i - args.warmup_iter) % args.fisher_freq == 0:
             rng, kf = jax.random.split(rng)
-            # one real batch per noise file, rows paired index-for-index (`:228-237`)
-            reals = np.concatenate(
-                [np.asarray(next(train_loader))[:r] for r in fisher_rows]
-            )
+            # one real batch per noise file, rows paired index-for-index
+            # (`:228-237`); stays on device -- no D2H round trip
+            reals = jnp.concatenate([next(train_loader)[:r] for r in fisher_rows])
             gf, gp, df, dp = fisher_round(
                 gcfg, dcfg, state["g_ema"], state["d_ema"],
-                fisher_noises, jnp.asarray(reals), kf,
+                fisher_noises, reals, kf,
                 batch=args.batch,
                 fisher_quantile=args.fisher_quantile,
                 prune_quantile=args.prune_quantile,
@@ -380,12 +407,23 @@ def main(argv=None):
             )
 
         if args.store_checkpoints and i % args.checkpoints_freq == 0 and i > 0:
-            _save_torch_ckpt(
-                os.path.join(args.checkpoint_dir, f"{i:06d}.pt"),
-                gcfg, dcfg, state, save_torch_file,
-                generator_state_dict_from_params, discriminator_state_dict_from_params,
-            )
-            save_state(os.path.join(args.checkpoint_dir, f"{i:06d}.state.npz"), state, step=i)
+            # snapshot on device (~ms), fetch+write in the background: a
+            # synchronous full-state save costs ~65 s on this link (per-leaf
+            # latency), so the snapshot is packed into one array per dtype
+            snap, spec = snapshot_packed(state)
+
+            def _write_periodic(host_state, *, step=i):
+                _save_torch_ckpt(
+                    os.path.join(args.checkpoint_dir, f"{step:06d}.pt"),
+                    gcfg, dcfg, tcfg, host_state, save_torch_file,
+                    generator_state_dict_from_params, discriminator_state_dict_from_params,
+                )
+                save_state(
+                    os.path.join(args.checkpoint_dir, f"{step:06d}.state.npz"),
+                    host_state, step=step,
+                )
+
+            saver.submit_packed(_write_periodic, snap, spec)
 
         if evaluator is not None and i % args.eval_in_training_freq == 0:
             score = evaluator.compute_inception_score(state["g_ema"])
@@ -393,32 +431,53 @@ def main(argv=None):
             stats.log(i, {"fid": float(score["fid"])})
             if score["fid"] < best_fid:
                 best_fid = score["fid"]
-                _save_torch_ckpt(
-                    os.path.join(args.checkpoint_dir, "best.pt"),
-                    gcfg, dcfg, state, save_torch_file,
-                    generator_state_dict_from_params, discriminator_state_dict_from_params,
-                )
-                np.savetxt(
-                    os.path.join(args.checkpoint_dir, "best_fid.txt"),
-                    np.asarray([best_fid]).reshape(1, -1),
-                )
+                snap, spec = snapshot_packed(state)
+
+                def _write_best(host_state, *, fid=best_fid):
+                    _save_torch_ckpt(
+                        os.path.join(args.checkpoint_dir, "best.pt"),
+                        gcfg, dcfg, tcfg, host_state, save_torch_file,
+                        generator_state_dict_from_params, discriminator_state_dict_from_params,
+                    )
+                    np.savetxt(
+                        os.path.join(args.checkpoint_dir, "best_fid.txt"),
+                        np.asarray([fid]).reshape(1, -1),
+                    )
+
+                # coalesced: if FID improves faster than the link ships
+                # ~0.7 GB checkpoints, only the newest best matters
+                saver.submit_latest_packed("best", _write_best, snap, spec)
 
     train_loader.close()
+    saver.close()  # drain pending checkpoint writes
     stats.close()
+    if os.path.exists(real_imgs_cache):  # reference deletes the cache (`:198`)
+        os.remove(real_imgs_cache)
     print(f"done in {time.time()-t_start:.1f}s; best FID {best_fid}")
 
 
-def _save_torch_ckpt(path, gcfg, dcfg, state, save_torch_file, g_to_sd, d_to_sd):
-    """Reference checkpoint layout (`:644-659`): {g_ema, g, d} rosinality state
-    dicts (optimizer state lives in the .state.npz native checkpoint)."""
-    save_torch_file(
-        {
-            "g_ema": g_to_sd(gcfg, state["g_ema"]),
-            "g": g_to_sd(gcfg, state["g"]),
-            "d": d_to_sd(dcfg, state["d"]),
-        },
-        path,
-    )
+def _save_torch_ckpt(path, gcfg, dcfg, tcfg, host_state, save_torch_file, g_to_sd, d_to_sd):
+    """Reference 5-key checkpoint layout (`:644-659`): {g_ema, g, d, g_optim,
+    d_optim} — rosinality state dicts plus torch.optim.Adam-layout optimizer
+    states, so a torch-side consumer can resume from our .pt.  Atomic write
+    (tmp + rename).  `host_state` must already live on host (AsyncSaver
+    fetches it off the training thread)."""
+    from rick_tpu.ckpt import d_optim_state_dict, g_optim_state_dict
+    from rick_tpu.ckpt.async_io import atomic_write
+
+    obj = {
+        "g_ema": g_to_sd(gcfg, host_state["g_ema"]),
+        "g": g_to_sd(gcfg, host_state["g"]),
+        "d": d_to_sd(dcfg, host_state["d"]),
+        "g_optim": g_optim_state_dict(
+            gcfg, host_state["g_opt"], lr=tcfg.g_lr, betas=(0.0, tcfg.g_beta2)
+        ),
+        "d_optim": d_optim_state_dict(
+            dcfg, host_state["d_opt"], lr=tcfg.d_lr, betas=(0.0, tcfg.d_beta2)
+        ),
+    }
+    with atomic_write(path) as tmp:
+        save_torch_file(obj, tmp)
 
 
 if __name__ == "__main__":

@@ -153,6 +153,90 @@ def data_stream(
     return _Stream()
 
 
+def device_data_stream(
+    dataset: ImageDataset,
+    batch_size: int,
+    *,
+    seed: int = 0,
+    shuffle: bool = True,
+    drop_last: bool = True,
+    stage_put=None,
+    out_sharding=None,
+):
+    """Few-shot dataset staged ENTIRELY in HBM; per-iteration batches are a
+    jitted on-device gather + random horizontal flip.
+
+    Motivation (measured, see ROUND2.md): on the high-latency host<->device
+    link a per-iteration 1.5 MB `device_put` of the real batch dominates the
+    whole training step (~1.3 s vs the 105 ms compute), while tiny scalar
+    uploads pipeline for free.  For the 10-shot regime the decoded dataset is
+    ~7.5 MB: ONE staging transfer, then the only per-iteration host->device
+    traffic is a (batch,) int32 index vector.
+
+    Epoch semantics mirror `data_stream` (shuffled, drop-last, loop forever);
+    the flip is applied on device with `jax.random` instead of host numpy.
+    `stage_put` places the staged (N,3,H,W) array (e.g. replicate over the
+    mesh); `out_sharding` shards the emitted batch (e.g. along 'data').
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    n = len(dataset)
+
+    # decode everything once, flips OFF (flip happens on device per draw)
+    old_flip = dataset.flip
+    dataset.flip = False
+    try:
+        decode_batch = getattr(dataset, "decode_batch", None)
+        if decode_batch is not None:
+            imgs = decode_batch(np.arange(n), rng)
+        else:
+            imgs = np.stack([dataset.get(i, rng) for i in range(n)])
+    finally:
+        dataset.flip = old_flip
+
+    imgs_dev = stage_put(imgs) if stage_put is not None else jax.device_put(imgs)
+
+    @functools.partial(jax.jit, out_shardings=out_sharding)
+    def fetch(images, idx, key):
+        b = images[idx]
+        do = jax.random.bernoulli(key, 0.5, (idx.shape[0],))
+        return jnp.where(do[:, None, None, None], b[..., ::-1], b)
+
+    base_key = jax.random.key(seed + 13)
+
+    class _DeviceStream:
+        def __init__(self):
+            self._order = np.empty((0,), np.int64)
+            self._pos = 0
+            self._step = 0
+
+        def __iter__(self):
+            return self
+
+        def __next__(self):
+            if self._pos + batch_size > len(self._order):
+                order = rng.permutation(n) if shuffle else np.arange(n)
+                end = n - (n % batch_size) if drop_last else n
+                if end == 0:  # dataset smaller than batch
+                    order = rng.integers(0, n, size=batch_size)
+                    end = batch_size
+                self._order = order[:end]
+                self._pos = 0
+            idx = jnp.asarray(self._order[self._pos : self._pos + batch_size], jnp.int32)
+            self._pos += batch_size
+            self._step += 1
+            return fetch(imgs_dev, idx, jax.random.fold_in(base_key, self._step))
+
+        def close(self):
+            pass
+
+    return _DeviceStream()
+
+
 def get_nsamples(dataset: ImageDataset, n: int, *, seed: int = 0) -> np.ndarray:
     """First-n eval-set cache, mirror of `get_nsamples_lmdb`
     (`gan_training/utils.py:38-49`): sequential batches until n collected

@@ -212,3 +212,124 @@ def test_merge_state_dict_lenient_shape_guard():
     np.testing.assert_array_equal(out["a"], np.ones((2, 2)))
     np.testing.assert_array_equal(out["b"], np.zeros((3,)))  # mismatch skipped
     assert "c" not in out
+
+
+def test_async_saver_snapshot_and_error_propagation(tmp_path):
+    """AsyncSaver: background writes complete on wait(); worker errors
+    re-raise on wait(); snapshot survives later mutation of the source."""
+    import jax
+    import jax.numpy as jnp
+
+    from rick_tpu.ckpt.async_io import AsyncSaver, atomic_write, snapshot
+
+    tree = {"a": jnp.arange(8.0), "b": {"c": jnp.ones((3, 3))}}
+    snap = snapshot(tree)
+
+    saver = AsyncSaver()
+    out = tmp_path / "t.npz"
+
+    def write(host_tree):
+        with atomic_write(str(out)) as tmp:
+            with open(tmp, "wb") as f:
+                np.savez(f, a=host_tree["a"], c=host_tree["b"]["c"])
+
+    saver.submit(write, snap)
+    saver.wait()
+    data = np.load(out)
+    np.testing.assert_array_equal(data["a"], np.arange(8.0))
+    assert not out.with_suffix(".npz.tmp").exists()
+
+    def boom(host_tree):
+        raise RuntimeError("disk full")
+
+    saver.submit(boom, snap)
+    with pytest.raises(RuntimeError, match="disk full"):
+        saver.wait()
+    saver.close()
+
+
+def test_cli_save_torch_ckpt_five_keys(tmp_path):
+    """The CLI checkpoint writer emits all 5 reference keys
+    (`train_dynamic_update_prune.py:644-659`) readable by torch.load."""
+    import jax
+
+    from rick_tpu.ckpt import (
+        discriminator_state_dict_from_params,
+        generator_state_dict_from_params,
+        save_torch_file,
+    )
+    from rick_tpu.cli.train import _save_torch_ckpt
+    from rick_tpu.nn import DiscriminatorConfig, GeneratorConfig
+    from rick_tpu.train import TrainConfig, init_train_state
+
+    gcfg = GeneratorConfig(size=16)
+    dcfg = DiscriminatorConfig(size=16)
+    tcfg = TrainConfig(batch=2, augment=False)
+    state = jax.device_get(init_train_state(jax.random.key(0), gcfg, dcfg, tcfg))
+
+    path = str(tmp_path / "ck.pt")
+    _save_torch_ckpt(
+        path, gcfg, dcfg, tcfg, state, save_torch_file,
+        generator_state_dict_from_params, discriminator_state_dict_from_params,
+    )
+    ck = torch.load(path, weights_only=False)
+    assert set(ck.keys()) == {"g_ema", "g", "d", "g_optim", "d_optim"}
+    assert "param_groups" in ck["g_optim"] and "state" in ck["g_optim"]
+    assert ck["g_optim"]["param_groups"][0]["betas"][0] == 0.0
+
+
+def test_snapshot_packed_roundtrip():
+    """snapshot_packed -> device_get -> unpack_snapshot reproduces the tree
+    exactly (mixed shapes/dtypes, scalar leaves)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rick_tpu.ckpt.async_io import snapshot_packed, unpack_snapshot
+
+    tree = {
+        "w": jnp.arange(12.0).reshape(3, 4),
+        "nested": [jnp.ones((2, 2, 2)), jnp.asarray(3.5)],
+        "count": jnp.asarray([1, 2, 3], jnp.int32),
+    }
+    packed, spec = snapshot_packed(tree)
+    host = unpack_snapshot(jax.device_get(packed), spec)
+    for a, b in zip(jax.tree_util.tree_leaves(tree), jax.tree_util.tree_leaves(host)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert np.asarray(a).shape == np.asarray(b).shape
+
+
+def test_async_saver_latest_coalesces(tmp_path):
+    """submit_latest_packed: a newer job with the same key replaces a
+    not-yet-started older one; FIFO jobs all run."""
+    import threading
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from rick_tpu.ckpt.async_io import AsyncSaver, snapshot_packed
+
+    ran = []
+    gate = threading.Event()
+
+    saver = AsyncSaver()
+
+    def slow(host):
+        gate.wait(10)
+        ran.append(("fifo", float(host["x"][0])))
+
+    def best(tag):
+        def fn(host):
+            ran.append((tag, float(host["x"][0])))
+        return fn
+
+    p0, s0 = snapshot_packed({"x": jnp.asarray([0.0])})
+    saver.submit_packed(slow, p0, s0)  # occupies the worker until gate opens
+    _time.sleep(0.3)
+    for v in (1.0, 2.0, 3.0):  # queued while worker busy -> coalesce to 3.0
+        p, s = snapshot_packed({"x": jnp.asarray([v])})
+        saver.submit_latest_packed("best", best(f"best{v}"), p, s)
+    gate.set()
+    saver.close()
+    assert ("fifo", 0.0) in ran
+    bests = [r for r in ran if r[0].startswith("best")]
+    assert bests == [("best3.0", 3.0)]
