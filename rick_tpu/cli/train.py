@@ -356,6 +356,9 @@ def main(argv=None):
     from rick_tpu.ckpt.async_io import AsyncSaver, snapshot_packed
 
     saver = AsyncSaver(max_pending=2)
+    best_dirty = None  # (packed, spec, fid) of the newest unsaved best
+    last_best_save = 0.0
+    best_save_interval = float(os.environ.get("RICK_BEST_SAVE_INTERVAL_S", "60"))
     profiler = ProfilerHook(args.profile_dir, start_iter=max(start_iter + 5, args.warmup_iter + 2))
     for i in range(start_iter, args.iter + 10 + 1):
         if i > args.iter + 10:
@@ -431,9 +434,20 @@ def main(argv=None):
             stats.log(i, {"fid": float(score["fid"])})
             if score["fid"] < best_fid:
                 best_fid = score["fid"]
-                snap, spec = snapshot_packed(state)
+                # snapshot ONLY what best.pt needs (5/9 of the state bytes)
+                best_dirty = snapshot_packed(
+                    {k: state[k] for k in ("g", "g_ema", "d", "g_opt", "d_opt")}
+                ) + (best_fid,)
+            # throttle: even coalesced+background, a ~1 GB snapshot fetch
+            # saturates the host<->device link and stalls foreground dispatch
+            # (measured: 6 s blocks -> 36 s while a best-save is in flight).
+            # The newest best is flushed at training end regardless.
+            if best_dirty is not None and time.time() - last_best_save >= best_save_interval:
+                snap, spec, fid = best_dirty
+                best_dirty = None
+                last_best_save = time.time()
 
-                def _write_best(host_state, *, fid=best_fid):
+                def _write_best(host_state, *, fid=fid):
                     _save_torch_ckpt(
                         os.path.join(args.checkpoint_dir, "best.pt"),
                         gcfg, dcfg, tcfg, host_state, save_torch_file,
@@ -444,11 +458,24 @@ def main(argv=None):
                         np.asarray([fid]).reshape(1, -1),
                     )
 
-                # coalesced: if FID improves faster than the link ships
-                # ~0.7 GB checkpoints, only the newest best matters
                 saver.submit_latest_packed("best", _write_best, snap, spec)
 
     train_loader.close()
+    if best_dirty is not None:  # flush the newest best
+        snap, spec, fid = best_dirty
+
+        def _write_final_best(host_state, *, fid=fid):
+            _save_torch_ckpt(
+                os.path.join(args.checkpoint_dir, "best.pt"),
+                gcfg, dcfg, tcfg, host_state, save_torch_file,
+                generator_state_dict_from_params, discriminator_state_dict_from_params,
+            )
+            np.savetxt(
+                os.path.join(args.checkpoint_dir, "best_fid.txt"),
+                np.asarray([fid]).reshape(1, -1),
+            )
+
+        saver.submit_latest_packed("best", _write_final_best, snap, spec)
     saver.close()  # drain pending checkpoint writes
     stats.close()
     if os.path.exists(real_imgs_cache):  # reference deletes the cache (`:198`)
