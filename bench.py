@@ -234,12 +234,17 @@ def e2e():
     log = open("/tmp/rick_e2e_train.log", "w")
     t_train0 = time.time()
     proc = subprocess.Popen(cmd, stdout=log, stderr=subprocess.STDOUT)
-    # kill after the first periodic checkpoint exists and progress passed it
+    # kill after the periodic checkpoint has LANDED on disk and progress
+    # passed it (checkpoints are written asynchronously: a kill can outrun an
+    # in-flight write -- atomicity then correctly leaves no file, and resume
+    # falls back to the previous checkpoint or start; here we test the
+    # "crash after a checkpoint landed" recovery path)
     killed_at = None
+    ckpt_file = os.path.join(exp_dir, "checkpoints", f"{resume_ckpt:06d}.state.npz")
     while proc.poll() is None:
         time.sleep(3 if smoke else 10)
         it = last_iter()
-        if killed_at is None and it >= kill_after:
+        if killed_at is None and it >= kill_after and os.path.exists(ckpt_file):
             proc.send_signal(signal.SIGKILL)
             proc.wait()
             killed_at = it

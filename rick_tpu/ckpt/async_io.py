@@ -16,6 +16,13 @@ needs a CONSISTENT SNAPSHOT at submit time, not a completed file:
 Writers should use `atomic_write` paths (tmp + os.replace) so a kill mid-save
 (crash, preemption) never leaves a truncated checkpoint for `--auto_resume`
 to trip over.
+
+RECOVERY-WINDOW SEMANTICS: asynchrony means a checkpoint becomes durable only
+when its background fetch+write completes (~minutes for a GB-scale state on
+this link).  A crash before that loses work back to the PREVIOUS durable
+checkpoint -- the price of not blocking training for the same minutes, as the
+reference's synchronous saves would.  Call `wait()` when durability matters
+more than throughput (e.g. before planned preemption).
 """
 
 from __future__ import annotations
@@ -67,6 +74,26 @@ def snapshot_packed(tree):
 
     packed = _PACK_FN(leaves)
     return packed, (treedef, spec_leaves)
+
+
+def fetch_packed_chunked(packed, chunk_elems: int = 4 << 20):
+    """Fetch packed snapshot arrays in ~chunk-sized slices instead of one
+    device_get: the host<->device link serializes transfers (~10 MB/s
+    effective here), and a monolithic ~GB fetch blocks every foreground
+    message (dispatches, metric syncs) for minutes.  Chunking yields the link
+    back between slices so training traffic interleaves."""
+    import numpy as np
+
+    out = {}
+    for k, arr in packed.items():
+        n = arr.shape[0]
+        if n <= chunk_elems:
+            out[k] = np.asarray(arr)
+        else:
+            out[k] = np.concatenate(
+                [np.asarray(arr[i : i + chunk_elems]) for i in range(0, n, chunk_elems)]
+            )
+    return out
 
 
 def unpack_snapshot(host_packed, spec):
@@ -122,8 +149,8 @@ class AsyncSaver:
             self._cv.notify_all()
 
     def submit_packed(self, fn: Callable[[Any], None], packed, spec) -> None:
-        """FIFO submit of a `snapshot_packed` snapshot: the worker fetches a
-        handful of packed arrays (bandwidth-bound, not per-leaf-latency-bound)
+        """FIFO submit of a `snapshot_packed` snapshot: the worker fetches the
+        packed arrays in chunks (interleaving with foreground link traffic)
         and unpacks on host."""
         self.submit(lambda host: fn(unpack_snapshot(host, spec)), packed)
 
@@ -155,7 +182,12 @@ class AsyncSaver:
                 self._cv.notify_all()
             fn, tree = job
             try:
-                fn(jax.device_get(tree))
+                if isinstance(tree, dict) and all(
+                    hasattr(v, "shape") and getattr(v, "ndim", 0) == 1 for v in tree.values()
+                ):
+                    fn(fetch_packed_chunked(tree))  # packed snapshot
+                else:
+                    fn(jax.device_get(tree))
             except Exception as e:  # surfaced on wait()
                 self._err = e
             finally:
