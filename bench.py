@@ -188,6 +188,11 @@ def e2e():
     import sys
 
     smoke = os.environ.get("RICK_E2E_SMOKE") == "1"
+    # kill+resume variant: SIGKILL after the periodic checkpoint lands, then
+    # --auto_resume.  Exercised by the smoke rehearsal and one full run (see
+    # ROUND2.md: 70.8 min incl. the replay); default off so the recurring
+    # benchmark reports the clean single-pass recipe.
+    do_kill = smoke or os.environ.get("RICK_E2E_KILL") == "1"
     root = "/tmp/rick_e2e_smoke" if smoke else "/tmp/rick_e2e"
     out_root = os.path.join(root, "_output")
     exp_dir = os.path.join(out_root, "e2e")
@@ -244,7 +249,7 @@ def e2e():
     while proc.poll() is None:
         time.sleep(3 if smoke else 10)
         it = last_iter()
-        if killed_at is None and it >= kill_after and os.path.exists(ckpt_file):
+        if do_kill and killed_at is None and it >= kill_after and os.path.exists(ckpt_file):
             proc.send_signal(signal.SIGKILL)
             proc.wait()
             killed_at = it
@@ -252,9 +257,12 @@ def e2e():
     if killed_at is None and proc.returncode not in (0, None):
         raise RuntimeError(f"train run failed rc={proc.returncode}, see /tmp/rick_e2e_train.log")
 
-    # resume (auto_resume picks the newest .state.npz, i.e. iter 500)
-    proc = subprocess.Popen(cmd, stdout=log, stderr=subprocess.STDOUT)
-    rc = proc.wait()
+    if killed_at is not None:
+        # resume (auto_resume picks the newest landed .state.npz)
+        proc = subprocess.Popen(cmd, stdout=log, stderr=subprocess.STDOUT)
+        rc = proc.wait()
+    else:
+        rc = proc.returncode
     log.close()
     wall_s = time.time() - t_train0
     if rc != 0:
@@ -266,8 +274,9 @@ def e2e():
         json.dumps(
             {
                 "metric": ("SMOKE e2e wall-clock" if smoke else
-                           "MEASURED FFHQ->Babies recipe wall-clock (1750 iters + 36x FID@5k, "
-                           "incl. mid-run SIGKILL at ~700 + auto-resume from 500)"),
+                           "MEASURED FFHQ->Babies recipe wall-clock (1750 iters + 36x FID@5k"
+                           + (", incl. mid-run SIGKILL + auto-resume" if do_kill else "")
+                           + ")"),
                 "value": round(wall_min, 2),
                 "unit": "minutes",
                 "vs_baseline": round(15.0 / wall_min, 3),

@@ -416,14 +416,16 @@ def main(argv=None):
             snap, spec = snapshot_packed(state)
 
             def _write_periodic(host_state, *, step=i):
+                # npz FIRST: it is the --auto_resume artifact, so it should
+                # become durable as early as possible
+                save_state(
+                    os.path.join(args.checkpoint_dir, f"{step:06d}.state.npz"),
+                    host_state, step=step,
+                )
                 _save_torch_ckpt(
                     os.path.join(args.checkpoint_dir, f"{step:06d}.pt"),
                     gcfg, dcfg, tcfg, host_state, save_torch_file,
                     generator_state_dict_from_params, discriminator_state_dict_from_params,
-                )
-                save_state(
-                    os.path.join(args.checkpoint_dir, f"{step:06d}.state.npz"),
-                    host_state, step=step,
                 )
 
             saver.submit_packed(_write_periodic, snap, spec)
