@@ -73,10 +73,16 @@ class Evaluator:
         inception_dtype=jnp.float32,
         gen_dtype=jnp.float32,
         inception_nhwc: bool = False,
+        real_acts: Optional[np.ndarray] = None,
         seed: int = 0,
     ):
         self.gcfg = gcfg
-        self.real = np.asarray(fid_real_samples, np.float32)
+        # uint8 reals are kept as raw pixels: get_activations dequantizes ON
+        # DEVICE (4x less traffic over the slow host<->device link); f32 input
+        # keeps the old path.  `real_acts` skips extraction entirely (callers
+        # cache it: the real set -- hence its pool3 stats -- is run-invariant).
+        real = np.asarray(fid_real_samples)
+        self.real = real if real.dtype == np.uint8 else real.astype(np.float32)
         self.inception_nsamples = inception_nsamples
         self.batch_size = batch_size
         self.n_sample_store = n_sample_store
@@ -177,9 +183,12 @@ class Evaluator:
             self._vgg_scan = jax.jit(vgg_scan)
 
         # real-set activations: one-time chunked pass, stats on device
-        self._real_acts = get_activations(
-            self.real, batch_size, self._inc_run_params, nhwc=self._inc_nhwc
-        )
+        if real_acts is not None:
+            self._real_acts = np.asarray(real_acts, np.float64)
+        else:
+            self._real_acts = get_activations(
+                self.real, batch_size, self._inc_run_params, nhwc=self._inc_nhwc
+            )
         self._real_mu_dev, self._real_cov_dev = jax.jit(_stats_from_acts)(
             jnp.asarray(self._real_acts, jnp.float32)
         )
@@ -247,7 +256,12 @@ class Evaluator:
             # the 5000 reals ONCE and reuse across evals (the reference
             # recomputes it per call, `eval.py:59-65`)
             if getattr(self.ipr, "manifold_ref", None) is None:
-                self.ipr.compute_manifold_ref(self.real)
+                real_f32 = (
+                    self.real.astype(np.float32) / 127.5 - 1.0
+                    if self.real.dtype == np.uint8
+                    else self.real
+                )
+                self.ipr.compute_manifold_ref(real_f32)
             self._key, kv = jax.random.split(self._key)
             feats = np.asarray(self._vgg_scan(g_ema, self.ipr.params, kv), np.float64)
             from rick_tpu.metrics.precision_recall import compute_pairwise_distances

@@ -32,21 +32,37 @@ def _pool3(params, batch, nhwc=False):
     return inception_pool3(params, batch, nhwc=nhwc)
 
 
+@functools.partial(jax.jit, static_argnames=("nhwc",))
+def _pool3_u8(params, batch_u8, nhwc=False):
+    # uint8 H2D + on-device dequant: the pipeline's [-1,1] f32 images came
+    # from uint8 pixels, so uploading the uint8 and dividing on device is
+    # EXACT and moves 4x fewer bytes over the (slow) host<->device link
+    x = batch_u8.astype(jnp.float32) / 127.5 - 1.0
+    return inception_pool3(params, x, nhwc=nhwc)
+
+
 def get_activations(
     images: np.ndarray, batch_size: int = 64, params=None, *, nhwc: bool = False
 ) -> np.ndarray:
     """pool3 activations for NCHW images in [-1, 1] (numpy or jax array).
 
-    nhwc=True requires params pre-transposed with inception.params_to_nhwc."""
+    uint8 input is accepted as raw pixels (dequantized to [-1,1] ON DEVICE --
+    4x less host->device traffic).  nhwc=True requires params pre-transposed
+    with inception.params_to_nhwc."""
     if params is None:
         params = _params()
     d0 = images.shape[0]
     batch_size = min(batch_size, d0)
     n_batches = d0 // batch_size
+    u8 = np.asarray(images).dtype == np.uint8
     outs = []
     for i in range(n_batches):
-        batch = jnp.asarray(np.asarray(images[i * batch_size : (i + 1) * batch_size], np.float32))
-        outs.append(np.asarray(_pool3(params, batch, nhwc=nhwc), np.float64))
+        chunk = np.asarray(images[i * batch_size : (i + 1) * batch_size])
+        if u8:
+            acts = _pool3_u8(params, jnp.asarray(chunk), nhwc=nhwc)
+        else:
+            acts = _pool3(params, jnp.asarray(chunk.astype(np.float32)), nhwc=nhwc)
+        outs.append(np.asarray(acts, np.float64))
     return np.concatenate(outs, axis=0)
 
 

@@ -40,3 +40,30 @@ def test_evaluator_fid_kid_smoke_nhwc():
     # real-side stats are cached from the layout-converted params
     assert ev._real_acts.shape == (8, 2048)
     assert np.isfinite(ev._real_acts).all()
+
+
+@pytest.mark.slow
+def test_evaluator_uint8_reals_and_acts_cache_match_f32():
+    """uint8 reals (device-side dequant) give identical activations to the
+    f32 path, and `real_acts=` pass-through skips extraction."""
+    import jax
+
+    gcfg = GeneratorConfig(size=16)
+    g_params = generator_init(jax.random.key(0), gcfg)
+    rng = np.random.default_rng(0)
+    real_u8 = rng.integers(0, 256, (8, 3, 16, 16), dtype=np.uint8)
+    real_f32 = real_u8.astype(np.float32) / 127.5 - 1.0
+    incp = inception_init(seed=0)
+
+    kw = dict(inception_nsamples=8, batch_size=8, gen_batch=4,
+              inception_params=incp, seed=1)
+    ev_f = Evaluator(gcfg, fid_real_samples=real_f32, **kw)
+    ev_u = Evaluator(gcfg, fid_real_samples=real_u8, **kw)
+    np.testing.assert_allclose(ev_f._real_acts, ev_u._real_acts, rtol=1e-5, atol=1e-6)
+
+    ev_c = Evaluator(gcfg, fid_real_samples=real_u8, real_acts=ev_u._real_acts, **kw)
+    np.testing.assert_array_equal(ev_c._real_acts, ev_u._real_acts)
+
+    s_f = ev_f.compute_inception_score(g_params)
+    s_c = ev_c.compute_inception_score(g_params)
+    assert abs(s_f["fid"] - s_c["fid"]) < 1e-3 * max(1.0, abs(s_f["fid"]))
