@@ -221,7 +221,7 @@ def e2e():
         "--n_sample_test", str(n_test),
         "--store_samples", "--samples_freq", str(resume_ckpt),
         "--store_checkpoints", "--checkpoints_freq", str(resume_ckpt),
-        "--auto_resume",
+        "--auto_resume", "--allow_random_fisher_noise",
     ]
 
     def last_iter():

@@ -188,8 +188,17 @@ class AsyncSaver:
                     fn(fetch_packed_chunked(tree))  # packed snapshot
                 else:
                     fn(jax.device_get(tree))
-            except Exception as e:  # surfaced on wait()
-                self._err = e
+            except Exception as e:
+                # surface immediately: wait() may not run until training end,
+                # and a disk-full at iter 500 must not fail silently for hours
+                import traceback
+
+                print(
+                    f"[AsyncSaver] checkpoint write FAILED: {e!r}", flush=True
+                )
+                traceback.print_exc()
+                if self._err is None:  # keep the FIRST error for wait()
+                    self._err = e
             finally:
                 with self._cv:
                     self._busy = False
@@ -205,11 +214,15 @@ class AsyncSaver:
             raise err
 
     def close(self):
-        self.wait()
-        with self._cv:
-            self._closed = True
-            self._cv.notify_all()
-        self._thread.join(timeout=60)
+        try:
+            self.wait()
+        finally:
+            # always stop the thread, even when wait() re-raises a worker
+            # error -- otherwise _closed is never set and the thread leaks
+            with self._cv:
+                self._closed = True
+                self._cv.notify_all()
+            self._thread.join(timeout=60)
 
 
 class atomic_write:

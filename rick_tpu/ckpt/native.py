@@ -28,14 +28,24 @@ def _flatten(tree) -> Dict[str, np.ndarray]:
 
 def save_state(path: str, state, *, step: int, extra: Dict[str, Any] | None = None):
     """Atomic (tmp + rename): a kill mid-save never leaves a truncated .npz
-    for --auto_resume to trip over."""
+    for --auto_resume to trip over.
+
+    The manifest is embedded IN the npz (`__manifest__` key) so that a kill
+    between the npz rename and the sidecar-json rename cannot leave a step-N
+    npz whose step reads as 0 (which would make --auto_resume replay the whole
+    run with step-N weights).  The sidecar json is still written for humans.
+    """
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     flat = _flatten(state)
+    manifest = {"step": step, **(extra or {})}
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:  # file handle: avoids np.savez's .npz suffixing
-        np.savez(f, **flat)
+        np.savez(
+            f,
+            __manifest__=np.frombuffer(json.dumps(manifest).encode(), dtype=np.uint8),
+            **flat,
+        )
     os.replace(tmp, path)
-    manifest = {"step": step, **(extra or {})}
     with open(path + ".json.tmp", "w") as f:
         json.dump(manifest, f)
     os.replace(path + ".json.tmp", path + ".json")
@@ -52,7 +62,15 @@ def load_state(path: str, state_template) -> Tuple[Any, Dict[str, Any]]:
         new_leaves.append(jax.numpy.asarray(arr))
     state = jax.tree_util.tree_unflatten(treedef, new_leaves)
     manifest = {}
-    if os.path.exists(path + ".json"):
+    if "__manifest__" in data:  # authoritative: written atomically with the leaves
+        manifest = json.loads(bytes(data["__manifest__"]).decode())
+    elif os.path.exists(path + ".json"):
         with open(path + ".json") as f:
             manifest = json.load(f)
+    if "step" not in manifest:
+        # last-resort fallback for pre-manifest-embedding checkpoints whose
+        # sidecar json was lost: parse {step:06d}.state.npz
+        base = os.path.basename(path)
+        if base.endswith(".state.npz") and base[:-10].isdigit():
+            manifest["step"] = int(base[:-10])
     return state, manifest

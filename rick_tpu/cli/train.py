@@ -75,6 +75,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_root", type=str, default="../../_output_style_gan")
     p.add_argument("--sample_noise", type=str, default="./noise.pt")
     p.add_argument("--fisher_noise_dir", type=str, default="./_noise")
+    p.add_argument("--allow_random_fisher_noise", action="store_true",
+                   help="substitute seeded random latents for missing "
+                        "_noise/*.pt fixtures instead of failing (deviates "
+                        "from the reference Fisher protocol)")
     p.add_argument(
         "--ada_margin", type=int, default=64,
         help="static reflect-pad margin for the ADA warp; rotated samples "
@@ -97,21 +101,25 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def load_fisher_noises(noise_dir, num_fisher_img, latent, batch):
+def load_fisher_noises(noise_dir, num_fisher_img, latent, batch, *, allow_random=False):
     """Load the fixed `_noise/{j:04d}.pt` Fisher latents.
 
     The reference iterates EVERY row of each file
     (`train_dynamic_update_prune.py:227-236`: one FIM sample per row, paired
     index-for-index with one fetched real batch), so files stay 2-D.  Returns
     (noises, rows): noises is (sum(rows), latent) float32, rows the per-file
-    row counts (used to slice the paired real batches).  Missing files fall
-    back to one fixed random row.
+    row counts (used to slice the paired real batches).
+
+    Missing files are a protocol deviation (the run's Fisher scores would no
+    longer match the reference's determinism fixtures), so by default this
+    RAISES; pass allow_random=True (CLI: --allow_random_fisher_noise) to
+    substitute one fixed seeded row per missing file, with a loud warning.
     """
     import jax
 
     from rick_tpu.ckpt import load_torch_file
 
-    noises, rows = [], []
+    noises, rows, missing = [], [], []
     for j in range(num_fisher_img):
         fpath = os.path.join(noise_dir, f"{j:04d}.pt")
         if os.path.exists(fpath):
@@ -122,11 +130,31 @@ def load_fisher_noises(noise_dir, num_fisher_img, latent, batch):
                     "reference pairs each row with a row of one real batch"
                 )
         else:
+            missing.append(fpath)
             r = np.asarray(
                 jax.random.normal(jax.random.key(1000 + j), (1, latent)), np.float32
             )
         noises.append(r)
         rows.append(r.shape[0])
+    if missing:
+        if not allow_random:
+            raise FileNotFoundError(
+                f"Fisher noise fixtures missing: {missing[:3]}"
+                f"{' ...' if len(missing) > 3 else ''} "
+                f"({len(missing)}/{num_fisher_img} files under {noise_dir!r}). "
+                "These fix the Fisher-information sampling protocol "
+                "(reference train_dynamic_update_prune.py:227-236); running "
+                "without them silently diverges from it. Provide the files or "
+                "pass --allow_random_fisher_noise to substitute seeded random "
+                "latents."
+            )
+        print(
+            f"WARNING: {len(missing)}/{num_fisher_img} Fisher noise fixtures "
+            f"missing under {noise_dir!r}; substituting seeded random latents "
+            "(--allow_random_fisher_noise). Fisher scores will NOT match runs "
+            "that use the reference fixtures.",
+            flush=True,
+        )
     return np.concatenate(noises, axis=0), rows
 
 
@@ -299,10 +327,22 @@ def main(argv=None):
         candidates = sorted(glob.glob(os.path.join(args.checkpoint_dir, "*.state.npz")))
         if candidates:
             resume_path = candidates[-1]
+    resumed_best_fid = None
     if resume_path:
         state, manifest = load_state(resume_path, state)
         start_iter = int(manifest.get("step", 0))
-        print(f"resumed from {resume_path} at iter {start_iter}")
+        # restore the best-FID watermark so the first post-resume eval cannot
+        # overwrite best.pt with a worse checkpoint (ADVICE r2)
+        if "best_fid" in manifest:
+            resumed_best_fid = float(manifest["best_fid"])
+        else:
+            bf_txt = os.path.join(args.checkpoint_dir, "best_fid.txt")
+            if os.path.exists(bf_txt):
+                resumed_best_fid = float(np.loadtxt(bf_txt).reshape(-1)[0])
+        print(
+            f"resumed from {resume_path} at iter {start_iter}"
+            + (f" (best FID so far {resumed_best_fid:.3f})" if resumed_best_fid is not None else "")
+        )
 
     state = replicate(mesh, state)
     phases = make_train_step(gcfg, dcfg, tcfg)
@@ -354,16 +394,23 @@ def main(argv=None):
     if os.path.exists(args.sample_noise):
         sample_z = jnp.asarray(np.asarray(load_torch_file(args.sample_noise), np.float32))
     else:
+        print(
+            f"WARNING: fixed sample latents {args.sample_noise!r} not found; "
+            "using seeded random latents — sample grids will not match runs "
+            "that use the reference noise.pt fixture.",
+            flush=True,
+        )
         sample_z = jax.random.normal(jax.random.key(0), (args.n_sample_store, args.latent))
 
     fisher_noises, fisher_rows = load_fisher_noises(
-        args.fisher_noise_dir, args.num_fisher_img, args.latent, args.batch
+        args.fisher_noise_dir, args.num_fisher_img, args.latent, args.batch,
+        allow_random=args.allow_random_fisher_noise,
     )
     fisher_noises = jnp.asarray(fisher_noises)
 
     # ---- training loop (`:159-699`)
     rng = jax.random.key(args.seed + 7)
-    best_fid = 1000.0
+    best_fid = resumed_best_fid if resumed_best_fid is not None else 1000.0
     t_start = time.time()
     log_every = 50
     stats = StatsLogger(
@@ -432,12 +479,13 @@ def main(argv=None):
             # latency), so the snapshot is packed into one array per dtype
             snap, spec = snapshot_packed(state)
 
-            def _write_periodic(host_state, *, step=i):
+            def _write_periodic(host_state, *, step=i, bf=best_fid):
                 # npz FIRST: it is the --auto_resume artifact, so it should
                 # become durable as early as possible
                 save_state(
                     os.path.join(args.checkpoint_dir, f"{step:06d}.state.npz"),
                     host_state, step=step,
+                    extra={"best_fid": bf} if bf < 1000.0 else None,
                 )
                 _save_torch_ckpt(
                     os.path.join(args.checkpoint_dir, f"{step:06d}.pt"),

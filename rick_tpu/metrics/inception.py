@@ -292,12 +292,16 @@ def inception_pool3(
     pre-transposed with `params_to_nhwc`.  Values match NCHW up to fp
     reassociation (tested).
     """
+    from rick_tpu.metrics.resize import bilinear_resize_torch
+
     if nhwc:
         x = jnp.transpose(x, (0, 2, 3, 1))
         if resize_input:
-            x = jax.image.resize(x, (x.shape[0], 299, 299, x.shape[3]), method="bilinear")
+            # exact F.upsample(bilinear, align_corners=False) semantics -- NO
+            # antialias, so 512/1024px downscales match the reference too
+            x = bilinear_resize_torch(x, 299, 299, nhwc=True)
     elif resize_input:
-        x = jax.image.resize(x, (x.shape[0], x.shape[1], 299, 299), method="bilinear")
+        x = bilinear_resize_torch(x, 299, 299)
     if normalize_input:
         scale = jnp.asarray([0.229 / 0.5, 0.224 / 0.5, 0.225 / 0.5], x.dtype)
         shift = jnp.asarray(

@@ -22,10 +22,12 @@ from jax import lax
 
 from rick_tpu.metrics.vgg import _CFG, default_vgg16_params
 
-# conv indices in torchvision features at which LPIPS taps activations
-# (after the relu of layers 2, 4, 7, 9, 12... torchvision slices: relu1_2=idx3,
-# relu2_2=idx8, relu3_3=idx15, relu4_3=idx22, relu5_3=idx29)
-_TAP_AFTER_CONV = {2, 4, 7, 9, 12}  # 1-based conv counter within config D
+# conv indices in torchvision features at which LPIPS taps activations.
+# lpips slices features at [0:4],[4:9],[9:16],[16:23],[23:30] -> activations
+# after relu1_2 (conv #2), relu2_2 (#4), relu3_3 (#7), relu4_3 (#10),
+# relu5_3 (#13) in a 1-based conv counter within config D.  (A {2,4,7,9,12}
+# mis-tap -- relu4_2/relu5_2 -- was caught by the torch-oracle parity test.)
+_TAP_AFTER_CONV = {2, 4, 7, 10, 13}
 _TAP_CHANNELS = [64, 128, 256, 512, 512]
 
 _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
@@ -88,8 +90,10 @@ def lpips_distance(x0, x1, *, vgg_params=None, lin_weights=None):
     t1 = _vgg_taps(vgg_params, x1)
     total = 0.0
     for f0, f1, w in zip(t0, t1, lin_weights):
-        n0 = f0 * lax.rsqrt(jnp.sum(f0**2, axis=1, keepdims=True) + 1e-10)
-        n1 = f1 * lax.rsqrt(jnp.sum(f1**2, axis=1, keepdims=True) + 1e-10)
+        # lpips.normalize_tensor adds eps to the NORM (f / (||f|| + eps)),
+        # not under the sqrt -- matched exactly for oracle parity
+        n0 = f0 / (jnp.sqrt(jnp.sum(f0**2, axis=1, keepdims=True)) + 1e-10)
+        n1 = f1 / (jnp.sqrt(jnp.sum(f1**2, axis=1, keepdims=True)) + 1e-10)
         d = (n0 - n1) ** 2
         total = total + jnp.mean(jnp.sum(d * w.reshape(1, -1, 1, 1), axis=1), axis=(1, 2))
     return total

@@ -81,7 +81,11 @@ def vgg16_fc2_features(params, x):
     """fc2 (4096-d) features; x NCHW in the caller's range, resized NEAREST to
     224 like the reference (dropout layers are identity in eval)."""
     if x.shape[2] != 224 or x.shape[3] != 224:
-        x = jax.image.resize(x, (x.shape[0], x.shape[1], 224, 224), method="nearest")
+        # torch's legacy asymmetric nearest convention (floor(dst*scale)), NOT
+        # jax.image.resize's rounded half-pixel centers
+        from rick_tpu.metrics.resize import nearest_resize_torch
+
+        x = nearest_resize_torch(x, 224, 224)
     idx = 0
     for c in _CFG:
         if c == "M":

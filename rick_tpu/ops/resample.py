@@ -18,8 +18,9 @@ gradient is again a dilated conv, so arbitrary-order autodiff works without
 the reference's hand-written UpFirDn2dBackward (`op/upfirdn2d.py:19-85`).
 
 Filters are tiny (3x3..12x12 separable), the op is HBM-bandwidth bound; XLA's
-fused conv is already near speed-of-light for this shape class.  A Pallas
-variant exists for fusion experiments (see `ops/resample_pallas.py`).
+fused conv is already near speed-of-light for this shape class (measured at
+the HBM roofline, ROUND2.md op table), so no standalone Pallas variant is
+kept; Pallas fusion experiments live in `ops/pallas_kernels.py`.
 """
 
 from __future__ import annotations

@@ -333,3 +333,57 @@ def test_async_saver_latest_coalesces(tmp_path):
     assert ("fifo", 0.0) in ran
     bests = [r for r in ran if r[0].startswith("best")]
     assert bests == [("best3.0", 3.0)]
+
+
+def test_native_state_manifest_embedded_in_npz(tmp_path):
+    """save_state embeds the manifest IN the npz: a kill between the npz and
+    sidecar-json renames must not make --auto_resume restart at step 0 with
+    step-N weights (ADVICE r2)."""
+    import os
+
+    from rick_tpu.ckpt.native import load_state, save_state
+
+    state = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.zeros(4)}
+    p = str(tmp_path / "000500.state.npz")
+    save_state(p, state, step=500, extra={"best_fid": 12.5})
+
+    # simulate the kill window: sidecar json never landed
+    os.remove(p + ".json")
+    restored, manifest = load_state(p, state)
+    assert manifest["step"] == 500
+    assert manifest["best_fid"] == 12.5
+    np.testing.assert_array_equal(np.asarray(restored["w"]), np.arange(6.0).reshape(2, 3))
+
+
+def test_native_state_step_from_filename_fallback(tmp_path):
+    """Pre-embedding checkpoints (no __manifest__ key, no sidecar): the step
+    parses from the {step:06d}.state.npz filename."""
+    from rick_tpu.ckpt.native import load_state
+
+    state = {"w": jnp.ones(3)}
+    p = str(tmp_path / "001250.state.npz")
+    with open(p, "wb") as f:
+        np.savez(f, w=np.ones(3, np.float32))
+    _, manifest = load_state(p, state)
+    assert manifest["step"] == 1250
+
+
+def test_async_saver_keeps_first_error_and_closes_after_failure(tmp_path):
+    """Worker keeps the FIRST error (root cause), and close() still joins the
+    thread when wait() re-raises (ADVICE r2)."""
+    from rick_tpu.ckpt.async_io import AsyncSaver, snapshot
+
+    snap = snapshot({"a": jnp.zeros(2)})
+    saver = AsyncSaver()
+
+    def boom1(_):
+        raise RuntimeError("first failure")
+
+    def boom2(_):
+        raise RuntimeError("second failure")
+
+    saver.submit(boom1, snap)
+    saver.submit(boom2, snap)
+    with pytest.raises(RuntimeError, match="first failure"):
+        saver.close()
+    assert not saver._thread.is_alive()

@@ -313,8 +313,12 @@ def test_load_fisher_noises_keeps_all_rows(tmp_path):
     save_torch_file(f0, str(tmp_path / "0000.pt"))
     save_torch_file(f1, str(tmp_path / "0001.pt"))
 
-    noises, rows = load_fisher_noises(str(tmp_path), 3, latent=8, batch=4)
-    assert rows == [3, 1, 1]  # third file missing -> 1 fallback row
+    # missing fixtures FAIL by default (protocol determinism, VERDICT r2 #9)
+    with pytest.raises(FileNotFoundError, match="Fisher noise fixtures missing"):
+        load_fisher_noises(str(tmp_path), 3, latent=8, batch=4)
+
+    noises, rows = load_fisher_noises(str(tmp_path), 3, latent=8, batch=4, allow_random=True)
+    assert rows == [3, 1, 1]  # third file missing -> 1 fallback row (opt-in)
     assert noises.shape == (5, 8)
     np.testing.assert_array_equal(noises[:3], f0)
     np.testing.assert_array_equal(noises[3:4], f1)
