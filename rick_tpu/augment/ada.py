@@ -46,17 +46,20 @@ import numpy as np
 
 from rick_tpu.ops import upfirdn2d
 from rick_tpu.ops.resample import upfirdn2d_separable
-from rick_tpu.augment.warp import warp_bilinear_matmul
+from rick_tpu.augment.warp import warp_bilinear_matmul, warp_bilinear_matmul_fir
 
 
 def _warp_mode() -> str:
-    """Bilinear-warp lowering: 'matmul' (tiled interpolation matmuls; MXU
-    forward and backward, the TPU-fast path) or 'gather' (4-tap point gather;
-    the direct grid_sample transcription).  Both produce identical values
-    (tested); RICK_ADA_WARP overrides."""
+    """Bilinear-warp lowering: 'matmul_fir' (tiled interpolation matmuls with
+    the up2-FIR FOLDED into the tap matrices -- the 2x intermediate is never
+    materialized and per-tile footprints shrink 4x; default), 'matmul' (tiled
+    matmuls over the materialized 2x image), or 'gather' (4-tap point gather;
+    the direct grid_sample transcription).  All produce the same values
+    (matmul vs gather bit-identical; the FIR fold equal up to fp
+    reassociation -- tested).  RICK_ADA_WARP overrides."""
     import os
 
-    return os.environ.get("RICK_ADA_WARP", "matmul")
+    return os.environ.get("RICK_ADA_WARP", "matmul_fir")
 
 # sym6 wavelet taps (`non_leaking.py:9-22`)
 SYM6 = (
@@ -324,9 +327,17 @@ def apply_affine(img, G, *, margin: int = 64, antialiasing_kernel=SYM6):
 
     # physically build the reference's padded image: reflect pad by M + pad_k
     img_pad = _reflect101_pad(img, M + pad_k)
-    # separable: outer(flip k, flip k) == flip2d(outer(k, k))
-    img_2x = upfirdn2d_separable(img_pad, kernel_1d_flip, up=2)
-    H2, W2 = img_2x.shape[2], img_2x.shape[3]  # 2*(h_o+2M+2*pad_k) - (len_k-1)
+    mode = _warp_mode()
+    if mode == "matmul_fir":
+        # the 2x image is never built -- the warp folds the up2-FIR into its
+        # tap matrices; only its (virtual) dimensions are needed for coords
+        img_2x = None
+        H2 = 2 * img_pad.shape[2] - (len_k - 1)
+        W2 = 2 * img_pad.shape[3] - (len_k - 1)
+    else:
+        # separable: outer(flip k, flip k) == flip2d(outer(k, k))
+        img_2x = upfirdn2d_separable(img_pad, kernel_1d_flip, up=2)
+        H2, W2 = img_2x.shape[2], img_2x.shape[3]  # 2*(h_o+2M+2*pad_k) - (len_k-1)
 
     w_p = w_o + 2 * M + 1
     h_p = h_o + 2 * M + 1
@@ -362,8 +373,16 @@ def apply_affine(img, G, *, margin: int = 64, antialiasing_kernel=SYM6):
         return x_pix, y_pix
 
     x_pix, y_pix = jax.vmap(coords_one)(G_inv)  # (B,Lh,Lw) each
-    if _warp_mode() == "matmul":
-        # TPU path: tiled 2-tap interpolation matmuls (MXU fwd AND bwd) --
+    if mode == "matmul_fir":
+        # TPU path: FIR-folded tiled interpolation matmuls (augment/warp.py).
+        # The kernel is passed as a STATIC numpy array: the fold builds the
+        # up2 band matrix at trace time.
+        import numpy as _np
+
+        k_static = _np.flip(_np.asarray(antialiasing_kernel, _np.float32)).copy()
+        img_affine = warp_bilinear_matmul_fir(img_pad, x_pix, y_pix, k_static)
+    elif mode == "matmul":
+        # tiled 2-tap interpolation matmuls (MXU fwd AND bwd) --
         # exact same taps/weights as the gather sampler (see augment/warp.py)
         img_affine = warp_bilinear_matmul(img_2x, x_pix, y_pix)
     else:

@@ -176,6 +176,15 @@ def main(argv=None):
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    # ---- multi-host runtime: must run before any backend use.  No-op for
+    # single-process launches; on a pod each process joins the coordination
+    # service and the mesh below spans all hosts' devices
+    # (SURVEY par. 2.3; reference's DataParallel wrap `:941-944`).
+    from rick_tpu.dist import initialize_multihost, is_main_process
+
+    proc_idx, proc_cnt = initialize_multihost()
+    is_main = is_main_process()
+
     from rick_tpu.ckpt import (
         discriminator_params_from_state_dict,
         discriminator_state_dict_from_params,
@@ -254,10 +263,11 @@ def main(argv=None):
     else:
         base = ImageDataset(test_path, resolution=args.size)
         few_shot_idx = np.random.choice(len(base), size=args.n_sample_train, replace=False)
-        np.savetxt(
-            os.path.join(args.output_path, f"{args.n_sample_train}-shot-index.txt"),
-            few_shot_idx,
-        )
+        if is_main:
+            np.savetxt(
+                os.path.join(args.output_path, f"{args.n_sample_train}-shot-index.txt"),
+                few_shot_idx,
+            )
         train_ds = open_dataset(test_path, indices=few_shot_idx)
         print(f"Few-shot transfer with {few_shot_idx.size}-shot images")
 
@@ -279,17 +289,27 @@ def main(argv=None):
             out_sharding=NamedSharding(mesh, PartitionSpec("data")),
         )
     else:
-        train_loader = data_stream(train_ds, args.batch, seed=args.seed, device_put=put)
+        # host streaming path: each process loads ONLY its slice of the
+        # global batch (process_batch_slice) and jax assembles the global
+        # sharded array -- per-host data loading per SURVEY par. 2.3
+        from rick_tpu.dist import global_array_from_local, process_batch_slice
 
-    # ---- args.txt dump (`:845-851`)
-    with open(os.path.join(args.output_path, "args.txt"), "w") as f:
-        f.writelines("------------------ start ------------------\n")
-        for k, v in vars(args).items():
-            f.writelines(f"{k} : {v}\n")
-        f.writelines("------------------- end -------------------")
+        _, local_bs = process_batch_slice(args.batch)
+        train_loader = data_stream(
+            train_ds, local_bs, seed=args.seed + 7919 * proc_idx,
+            device_put=lambda b: global_array_from_local(mesh, b),
+        )
 
-    # ---- training-script copy into the run dir (`:853-857`)
-    shutil.copy(os.path.abspath(__file__), os.path.join(args.output_path, "train_script.py"))
+    # ---- args.txt dump (`:845-851`); rank-0 only (reference `:605`)
+    if is_main:
+        with open(os.path.join(args.output_path, "args.txt"), "w") as f:
+            f.writelines("------------------ start ------------------\n")
+            for k, v in vars(args).items():
+                f.writelines(f"{k} : {v}\n")
+            f.writelines("------------------- end -------------------")
+
+        # ---- training-script copy into the run dir (`:853-857`)
+        shutil.copy(os.path.abspath(__file__), os.path.join(args.output_path, "train_script.py"))
 
     # ---- models + source checkpoint (`:864-879`)
     key = jax.random.key(args.seed)
@@ -369,8 +389,9 @@ def main(argv=None):
             x_real_test = np.clip(
                 np.rint((x_real_f32 + 1.0) * 127.5), 0, 255
             ).astype(np.uint8)
-            np.save(real_imgs_cache + ".tmp.npy", x_real_test)
-            os.replace(real_imgs_cache + ".tmp.npy", real_imgs_cache)
+            if is_main:
+                np.save(real_imgs_cache + ".tmp.npy", x_real_test)
+                os.replace(real_imgs_cache + ".tmp.npy", real_imgs_cache)
         # pool3 activations of the real set are run-invariant: cache them so
         # a resumed run skips the 5000-image upload+extraction entirely
         real_acts = np.load(real_acts_cache) if os.path.exists(real_acts_cache) else None
@@ -383,12 +404,14 @@ def main(argv=None):
             inception_dtype=jnp.bfloat16 if args.eval_bf16 else jnp.float32,
             inception_nhwc=args.eval_nhwc,
             real_acts=real_acts,
+            mesh=mesh,  # data-parallel eval: generation chunks spread over the mesh
         )
-        if real_acts is None:
+        if real_acts is None and is_main:
             np.save(real_acts_cache + ".tmp.npy", evaluator._real_acts)
             os.replace(real_acts_cache + ".tmp.npy", real_acts_cache)
-        x_real = get_nsamples(train_ds, 10)
-        save_image_grid(x_real, os.path.join(args.output_path, "real.png"), nrow=5)
+        if is_main:
+            x_real = get_nsamples(train_ds, 10)
+            save_image_grid(x_real, os.path.join(args.output_path, "real.png"), nrow=5)
 
     # ---- fixed latents
     if os.path.exists(args.sample_noise):
@@ -454,7 +477,7 @@ def main(argv=None):
         rng, kstep = jax.random.split(rng)
         state, metrics = run_iteration(phases, state, real, kstep, i, tcfg)
 
-        if i % log_every == 0:
+        if i % log_every == 0 and is_main:
             # ONE host sync for the whole metrics dict (high-latency link)
             m = {k: float(v) for k, v in jax.device_get(metrics).items()}
             stats.log(i, m)
@@ -466,14 +489,14 @@ def main(argv=None):
                 flush=True,
             )
 
-        if args.store_samples and i % args.samples_freq == 0:
+        if args.store_samples and i % args.samples_freq == 0 and is_main:
             grid = sample_images(gcfg, state["g_ema"], sample_z)
             save_image_grid(
                 grid, os.path.join(args.sample_dir, f"{i:06d}.png"),
                 nrow=int(args.n_sample_store**0.5),
             )
 
-        if args.store_checkpoints and i % args.checkpoints_freq == 0 and i > 0:
+        if args.store_checkpoints and i % args.checkpoints_freq == 0 and i > 0 and is_main:
             # snapshot on device (~ms), fetch+write in the background: a
             # synchronous full-state save costs ~65 s on this link (per-leaf
             # latency), so the snapshot is packed into one array per dtype
@@ -496,10 +519,12 @@ def main(argv=None):
             saver.submit_packed(_write_periodic, snap, spec)
 
         if evaluator is not None and i % args.eval_in_training_freq == 0:
+            # collective over the global mesh: every process participates
             score = evaluator.compute_inception_score(state["g_ema"])
-            print(f"[{i}] FID: {score['fid']:.3f}", flush=True)
-            stats.log(i, {"fid": float(score["fid"])})
-            if score["fid"] < best_fid:
+            if is_main:
+                print(f"[{i}] FID: {score['fid']:.3f}", flush=True)
+                stats.log(i, {"fid": float(score["fid"])})
+            if score["fid"] < best_fid and is_main:
                 best_fid = score["fid"]
                 # snapshot ONLY what best.pt needs (5/9 of the state bytes)
                 best_dirty = snapshot_packed(
@@ -545,10 +570,11 @@ def main(argv=None):
         saver.submit_latest_packed("best", _write_final_best, snap, spec)
     saver.close()  # drain pending checkpoint writes
     stats.close()
-    for cache in (real_imgs_cache, real_acts_cache):
-        if os.path.exists(cache):  # reference deletes the cache (`:198`)
-            os.remove(cache)
-    print(f"done in {time.time()-t_start:.1f}s; best FID {best_fid}")
+    if is_main:
+        for cache in (real_imgs_cache, real_acts_cache):
+            if os.path.exists(cache):  # reference deletes the cache (`:198`)
+                os.remove(cache)
+        print(f"done in {time.time()-t_start:.1f}s; best FID {best_fid}")
 
 
 def _save_torch_ckpt(path, gcfg, dcfg, tcfg, host_state, save_torch_file, g_to_sd, d_to_sd):

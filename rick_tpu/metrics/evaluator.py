@@ -75,8 +75,22 @@ class Evaluator:
         inception_nhwc: bool = False,
         real_acts: Optional[np.ndarray] = None,
         seed: int = 0,
+        mesh=None,
     ):
         self.gcfg = gcfg
+        # data-parallel eval (VERDICT r2 #2): on an N-device mesh the scan's
+        # generation chunks are split across devices via shard_map and the
+        # FID statistics reduced with psum -- the reference's analogue runs
+        # its evaluator on the DataParallel'd g_ema
+        # (`train_dynamic_update_prune.py:947-958`).  Single-host-transfer
+        # property is kept: mu/cov come back replicated, one fetch.
+        self.mesh = (
+            mesh
+            if mesh is not None
+            and mesh.devices.size > 1
+            and inception_nsamples % mesh.devices.size == 0
+            else None
+        )
         # uint8 reals are kept as raw pixels: get_activations dequantizes ON
         # DEVICE (4x less traffic over the slow host<->device link); f32 input
         # keeps the old path.  `real_acts` skips extraction entirely (callers
@@ -87,12 +101,25 @@ class Evaluator:
         self.batch_size = batch_size
         self.n_sample_store = n_sample_store
         self.latent = latent
-        # chunk size dividing n evenly
-        gen_batch = min(gen_batch, inception_nsamples)
-        while inception_nsamples % gen_batch != 0:
-            gen_batch -= 1
-        self.gen_batch = gen_batch
-        self.n_chunks = inception_nsamples // gen_batch
+        if self.mesh is not None:
+            # per-device sample count; local chunk size = divisor of it
+            # closest to the requested gen_batch (prefer larger on ties --
+            # bigger generation batches are MXU-friendlier)
+            nd = self.mesh.devices.size
+            n_local = inception_nsamples // nd
+            divisors = [d for d in range(1, n_local + 1) if n_local % d == 0]
+            gen_batch = min(
+                divisors, key=lambda d: (abs(d - gen_batch), -d)
+            )
+            self.gen_batch = gen_batch
+            self.n_chunks = n_local // gen_batch  # per-device chunks
+        else:
+            # chunk size dividing n evenly
+            gen_batch = min(gen_batch, inception_nsamples)
+            while inception_nsamples % gen_batch != 0:
+                gen_batch -= 1
+            self.gen_batch = gen_batch
+            self.n_chunks = inception_nsamples // gen_batch
         self.inception_params = (
             inception_params if inception_params is not None else default_inception_params()
         )
@@ -123,22 +150,58 @@ class Evaluator:
                 incp = jax.tree.map(lambda a: a.astype(inc_dtype), incp)
             return inception_pool3(incp, imgs, nhwc=inc_nhwc).astype(jnp.float32)
 
-        def eval_scan(gp, incp, key, want_acts: bool):
-            keys = jax.random.split(key, nc)
-
+        def chunk_scan(gp, incp, keys):
             def body(_, k):
                 acts = gen_chunk_acts(gp, incp, k)
                 return None, acts
 
             _, acts = jax.lax.scan(body, None, keys)  # (nc, gb, 2048)
-            acts = acts.reshape(nc * gb, -1)
-            mu, cov = _stats_from_acts(acts)
-            if want_acts:
-                return mu, cov, acts[:2000]
-            return mu, cov
+            return acts.reshape(keys.shape[0] * gb, -1)
 
-        self._eval_stats = jax.jit(functools.partial(eval_scan, want_acts=False))
-        self._eval_stats_acts = jax.jit(functools.partial(eval_scan, want_acts=True))
+        if self.mesh is None:
+
+            def eval_scan(gp, incp, key, want_acts: bool):
+                acts = chunk_scan(gp, incp, jax.random.split(key, nc))
+                mu, cov = _stats_from_acts(acts)
+                if want_acts:
+                    return mu, cov, acts[:2000]
+                return mu, cov
+
+            self._eval_stats = jax.jit(functools.partial(eval_scan, want_acts=False))
+            self._eval_stats_acts = jax.jit(functools.partial(eval_scan, want_acts=True))
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            mesh_ = self.mesh
+            nd = mesh_.devices.size
+            n_total = nd * nc * gb
+
+            def local_eval(gp, incp, keys_blk):
+                # keys_blk: (1, nc) block of the (nd, nc) key grid
+                acts = chunk_scan(gp, incp, keys_blk[0]).astype(jnp.float32)
+                # same two-pass mean/centered-covariance as the single-device
+                # path (raw second moments would lose f32 precision)
+                mu = jax.lax.psum(jnp.sum(acts, axis=0), "data") / n_total
+                xc = acts - mu
+                cov = jax.lax.psum(xc.T @ xc, "data") / (n_total - 1)
+                return mu, cov, acts[None]
+
+            sharded = jax.shard_map(
+                local_eval,
+                mesh=mesh_,
+                in_specs=(P(), P(), P("data")),
+                out_specs=(P(), P(), P("data")),
+            )
+
+            def eval_scan_sharded(gp, incp, key, want_acts: bool):
+                keys = jax.random.split(key, nd * nc).reshape(nd, nc)
+                mu, cov, acts = sharded(gp, incp, keys)
+                if want_acts:
+                    return mu, cov, acts.reshape(n_total, -1)[:2000]
+                return mu, cov
+
+            self._eval_stats = jax.jit(functools.partial(eval_scan_sharded, want_acts=False))
+            self._eval_stats_acts = jax.jit(functools.partial(eval_scan_sharded, want_acts=True))
 
         # device-side KID subsets (`gan_metrics/kid_score.py:255-263`:
         # polynomial kernel, unbiased estimator, subsets of size <=1000)
@@ -166,11 +229,10 @@ class Evaluator:
 
         self._kid_device = jax.jit(kid_device, static_argnums=(3, 4))
 
-        # VGG features for precision/recall, same scan structure
+        # VGG features for precision/recall, same scan structure (and same
+        # data-mesh sharding when a mesh is present)
         if compute_pr:
-            def vgg_scan(gp, vp, key):
-                keys = jax.random.split(key, nc)
-
+            def vgg_chunks(gp, vp, keys):
                 def body(_, k):
                     kz, kn = jax.random.split(k)
                     z = jax.random.normal(kz, (gb, lat))
@@ -178,9 +240,29 @@ class Evaluator:
                     return None, vgg16_fc2_features(vp, imgs)
 
                 _, feats = jax.lax.scan(body, None, keys)
-                return feats.reshape(nc * gb, -1)
+                return feats.reshape(keys.shape[0] * gb, -1)
 
-            self._vgg_scan = jax.jit(vgg_scan)
+            if self.mesh is None:
+                self._vgg_scan = jax.jit(
+                    lambda gp, vp, key: vgg_chunks(gp, vp, jax.random.split(key, nc))
+                )
+            else:
+                from jax.sharding import PartitionSpec as P
+
+                mesh_ = self.mesh
+                nd = mesh_.devices.size
+                sharded_vgg = jax.shard_map(
+                    lambda gp, vp, kb: vgg_chunks(gp, vp, kb[0])[None],
+                    mesh=mesh_,
+                    in_specs=(P(), P(), P("data")),
+                    out_specs=P("data"),
+                )
+
+                def vgg_scan_sharded(gp, vp, key):
+                    keys = jax.random.split(key, nd * nc).reshape(nd, nc)
+                    return sharded_vgg(gp, vp, keys).reshape(nd * nc * gb, -1)
+
+                self._vgg_scan = jax.jit(vgg_scan_sharded)
 
         # real-set activations: one-time chunked pass, stats on device
         if real_acts is not None:
@@ -271,3 +353,34 @@ class Evaluator:
             score["precision"] = compute_metric(self.ipr.manifold_ref, feats)
             score["recall"] = compute_metric(manifold_subject, self.ipr.manifold_ref.features)
         return score
+
+    def compute_intra_lpips(
+        self,
+        g_ema,
+        cluster_center_path: str,
+        *,
+        n_samples: int = 1000,
+        cluster_size: int = 50,
+        k: int = 10,
+        size: int = 256,
+        seed: int = 0,
+    ) -> float:
+        """Intra-cluster LPIPS diversity, protocol mirror of
+        `gan_training/eval.py:83-220`: generate `n_samples` images, assign each
+        to the nearest of the `k` cluster centers by LPIPS (net='vgg'), then
+        average the pairwise LPIPS within each cluster over at most
+        `cluster_size` members.  `cluster_center_path` follows the reference's
+        `../cluster_centers/{data}/{method}` layout (c{k}/center.png); prepare
+        it with `metrics.intra_lpips.prepare_cluster_centers`.
+
+        The reference round-trips samples through 8-bit PNGs and resizes to
+        256 before LPIPS (`eval.py:96,113-118`); IntraLPIPS replicates that
+        preprocessing on the in-memory tensors (no filesystem churn -- the
+        reference's save/move/delete dance, `eval.py:144-220`, exists only to
+        shuttle images between processes)."""
+        from rick_tpu.metrics.intra_lpips import IntraLPIPS, load_cluster_centers
+
+        centers = load_cluster_centers(cluster_center_path, k=k, size=size)
+        il = IntraLPIPS(centers, cluster_size=cluster_size, size=size)
+        imgs = self.generate(g_ema, n=n_samples)
+        return il.compute(imgs, rng=np.random.default_rng(seed))

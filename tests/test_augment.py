@@ -182,3 +182,58 @@ def test_warp_matmul_grad_matches_gather_grad():
     np.testing.assert_allclose(
         np.asarray(g_gather), np.asarray(g_matmul), rtol=1e-4, atol=1e-4
     )
+
+
+def test_fir_folded_warp_matches_unfused_chain():
+    """matmul_fir (up2-FIR folded into the warp tap matrices, VERDICT r2 #6)
+    == the materialized up2-FIR + matmul warp, up to fp reassociation, for
+    shift/rotation/scale/flip composites AND in the backward pass."""
+    import os
+
+    from rick_tpu.augment import ada
+
+    img_np = np.random.default_rng(5).standard_normal((2, 3, 32, 32)).astype(np.float32)
+    img = jnp.asarray(img_np)
+    old = os.environ.get("RICK_ADA_WARP")
+    try:
+        for case, G in _affine_cases().items():
+            Gj = jnp.asarray(G.numpy())
+            os.environ["RICK_ADA_WARP"] = "matmul"
+            want = np.asarray(apply_affine(img, Gj, margin=MARGIN))
+            os.environ["RICK_ADA_WARP"] = "matmul_fir"
+            got = np.asarray(apply_affine(img, Gj, margin=MARGIN))
+            np.testing.assert_allclose(got, want, atol=5e-6, err_msg=case)
+
+        # backward: d/d(img) of a scalar loss through the warp
+        Gj = jnp.asarray(_affine_cases()["combo"].numpy())
+
+        def loss(x):
+            return jnp.sum(apply_affine(x, Gj, margin=MARGIN) ** 2)
+
+        os.environ["RICK_ADA_WARP"] = "matmul"
+        g_want = np.asarray(jax.grad(loss)(img))
+        os.environ["RICK_ADA_WARP"] = "matmul_fir"
+        g_got = np.asarray(jax.grad(loss)(img))
+        np.testing.assert_allclose(g_got, g_want, atol=5e-5)
+    finally:
+        if old is None:
+            os.environ.pop("RICK_ADA_WARP", None)
+        else:
+            os.environ["RICK_ADA_WARP"] = old
+
+
+def test_up2_band_matrix_matches_production_op():
+    """The numpy band matrix used by the FIR fold == the production
+    upfirdn2d_general applied to an identity batch, element-for-element."""
+    from rick_tpu.augment.ada import SYM6
+    from rick_tpu.augment.warp import _up2_matrix
+    from rick_tpu.ops.resample import upfirdn2d_general
+
+    k = np.flip(np.asarray(SYM6, np.float32)).copy()
+    n = 40
+    eye = np.eye(n, dtype=np.float32)[None, None]  # (1, 1, n, n): rows = H
+    want = np.asarray(
+        upfirdn2d_general(jnp.asarray(eye), jnp.asarray(k)[:, None], 1, 2, 1, 1, 0, 0, 0, 0)
+    )[0, 0]
+    got = _up2_matrix(n, k.tobytes())
+    np.testing.assert_array_equal(got, want)

@@ -162,3 +162,74 @@ def test_one_augmented_iteration_on_mesh():
     state, m = run_iteration(phases, state, real, jax.random.key(2), 0, tcfg)
     for k, v in m.items():
         assert np.isfinite(float(v)), k
+
+
+def test_env_is_multiprocess_detection(monkeypatch):
+    """Single-worker env values (the axon tunnel sets
+    TPU_WORKER_HOSTNAMES=localhost) must NOT trigger distributed init;
+    positive multi-process signals must."""
+    from rick_tpu.dist.multihost import _env_is_multiprocess
+
+    for v in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+              "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+              "SLURM_JOB_NUM_NODES", "OMPI_COMM_WORLD_SIZE"):
+        monkeypatch.delenv(v, raising=False)
+    assert not _env_is_multiprocess()
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert not _env_is_multiprocess()
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-0,host-1")
+    assert _env_is_multiprocess()
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    monkeypatch.setenv("SLURM_JOB_NUM_NODES", "1")
+    assert not _env_is_multiprocess()
+    monkeypatch.setenv("SLURM_JOB_NUM_NODES", "4")
+    assert _env_is_multiprocess()
+    monkeypatch.delenv("SLURM_JOB_NUM_NODES")
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    assert _env_is_multiprocess()
+
+
+def test_global_array_from_local_single_process():
+    """Single-process: identical to shard_batch (device_put with the data
+    sharding); the multihost branch uses
+    jax.make_array_from_process_local_data (covered structurally)."""
+    from rick_tpu.dist import global_array_from_local
+
+    mesh = make_mesh(8)
+    batch = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    g = global_array_from_local(mesh, batch)
+    assert g.shape == (8, 3)
+    np.testing.assert_array_equal(np.asarray(g), batch)
+    assert g.sharding.spec == P("data")
+
+
+def test_fisher_round_on_mesh():
+    """VERDICT r2 #4: fisher_round (replicated EMA state x sharded reals)
+    compiles and runs on the 8-device mesh, and its masks equal the
+    single-device masks bit-for-bit."""
+    from rick_tpu.train import fisher_round
+
+    gcfg = GeneratorConfig(size=16)
+    dcfg = DiscriminatorConfig(size=16)
+    tcfg = TrainConfig(batch=8, warmup_iter=0)
+    state = init_train_state(jax.random.key(0), gcfg, dcfg, tcfg)
+    noises = jax.random.normal(jax.random.key(1), (8, 512))
+    reals = jax.random.normal(jax.random.key(2), (8, 3, 16, 16))
+
+    kw = dict(batch=8, fisher_quantile=50.0, prune_quantile=0.1, denom=8.0)
+    gf1, gp1, df1, dp1 = fisher_round(
+        gcfg, dcfg, state["g_ema"], state["d_ema"], noises, reals, jax.random.key(3), **kw
+    )
+
+    mesh = make_mesh(8)
+    g_ema = replicate(mesh, state["g_ema"])
+    d_ema = replicate(mesh, state["d_ema"])
+    noises_s = shard_batch(mesh, noises)
+    reals_s = shard_batch(mesh, reals)
+    gf8, gp8, df8, dp8 = fisher_round(
+        gcfg, dcfg, g_ema, d_ema, noises_s, reals_s, jax.random.key(3), **kw
+    )
+
+    for a, b in zip(jax.tree.leaves((gf1, gp1, df1, dp1)),
+                    jax.tree.leaves((gf8, gp8, df8, dp8))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -67,3 +67,60 @@ def test_evaluator_uint8_reals_and_acts_cache_match_f32():
     s_f = ev_f.compute_inception_score(g_params)
     s_c = ev_c.compute_inception_score(g_params)
     assert abs(s_f["fid"] - s_c["fid"]) < 1e-3 * max(1.0, abs(s_f["fid"]))
+
+
+@pytest.mark.slow
+def test_evaluator_sharded_eval_matches_single_device():
+    """Data-mesh eval (VERDICT r2 #2): the 8-device shard_map'd eval scan
+    produces the same FID statistics as the single-device scan up to f32
+    reduction noise -- generation chunks split across devices, (mu, cov)
+    psum'd, single host transfer preserved.  The per-key generation stream is
+    identical (same key grid order), so activations match chunk-for-chunk."""
+    import jax
+
+    from rick_tpu.dist.mesh import make_mesh
+
+    gcfg = GeneratorConfig(size=16)
+    g_params = generator_init(jax.random.key(0), gcfg)
+    real = np.random.default_rng(0).uniform(-1, 1, (8, 3, 16, 16)).astype(np.float32)
+    incp = inception_init(seed=0)
+    mesh = make_mesh(8)
+
+    kw = dict(fid_real_samples=real, inception_nsamples=16, batch_size=8,
+              gen_batch=2, inception_params=incp, seed=1)
+    ev_m = Evaluator(gcfg, mesh=mesh, **kw)
+    assert ev_m.mesh is not None
+    assert ev_m.gen_batch * ev_m.n_chunks * 8 == 16  # per-device chunks
+
+    self_key = jax.random.key(123)
+    mu_m, cov_m = ev_m._eval_stats(g_params, ev_m._inc_run_params, self_key)
+
+    # single-device evaluator re-running the SAME (nd*nc) key grid: build the
+    # identical flat key order by passing the same key through an unsharded
+    # evaluator with matching chunking
+    ev_1 = Evaluator(gcfg, **kw)
+    nd, nc, gb = 8, ev_m.n_chunks, ev_m.gen_batch
+    keys = jax.random.split(self_key, nd * nc)
+
+    def flat_scan(gp, incp):
+        accs = []
+        for k in keys:
+            kz, kn = jax.random.split(k)
+            z = jax.random.normal(kz, (gb, ev_1.latent))
+            from rick_tpu.nn.generator import generator_apply
+            imgs, _ = generator_apply(gcfg, gp, [z], rng=kn)
+            from rick_tpu.metrics.inception import inception_pool3
+            accs.append(inception_pool3(incp, imgs))
+        return jnp.concatenate(accs, axis=0)
+
+    acts = flat_scan(g_params, incp)
+    mu_ref = jnp.mean(acts, axis=0)
+    xc = acts - mu_ref
+    cov_ref = (xc.T @ xc) / (acts.shape[0] - 1)
+
+    np.testing.assert_allclose(np.asarray(mu_m), np.asarray(mu_ref), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(cov_m), np.asarray(cov_ref), rtol=2e-3, atol=2e-5)
+
+    # sharded KID path: fake acts come back in the same global order
+    mu2, cov2, fake_acts = ev_m._eval_stats_acts(g_params, ev_m._inc_run_params, self_key)
+    np.testing.assert_allclose(np.asarray(fake_acts), np.asarray(acts)[:2000], rtol=2e-4, atol=2e-5)

@@ -146,7 +146,7 @@ def test_intra_lpips_clusters():
     dark = rng.uniform(-1.0, -0.6, (6, 3, 32, 32)).astype(np.float32)
     bright = rng.uniform(0.6, 1.0, (6, 3, 32, 32)).astype(np.float32)
     imgs = np.concatenate([dark, bright])
-    il = IntraLPIPS(centers, batch=4)
+    il = IntraLPIPS(centers, batch=4, preprocess=False)  # raw 32px tensors
     labels = il.assign(imgs)
     assert (labels[:6] == labels[0]).all() and (labels[6:] == labels[6]).all()
     assert labels[0] != labels[6]
