@@ -88,41 +88,53 @@ class RecordStore:
 
 class _LmdbStore:
     """Adapter over a real lmdb environment (reference format,
-    `dataset.py:8-34`)."""
+    `dataset.py:8-34`).  Uses the lmdb package when importable; otherwise
+    falls back to the stdlib-only page reader (`data/lmdb_pure.py`), so
+    reference datasets are consumable with no optional dependencies."""
 
     def __init__(self, path: str):
-        import lmdb  # optional dependency
+        try:
+            import lmdb  # optional dependency
 
-        self.env = lmdb.open(
-            path, max_readers=32, readonly=True, lock=False,
-            readahead=False, meminit=False,
-        )
-        with self.env.begin(write=False) as txn:
-            self._n = int(txn.get(b"length").decode("utf-8"))
+            self.env = lmdb.open(
+                path, max_readers=32, readonly=True, lock=False,
+                readahead=False, meminit=False,
+            )
+            self._pure = None
+            with self.env.begin(write=False) as txn:
+                self._n = int(txn.get(b"length").decode("utf-8"))
+        except ImportError:
+            from rick_tpu.data.lmdb_pure import PureLmdbReader
+
+            self.env = None
+            self._pure = PureLmdbReader(path)
+            n = self._pure.get(b"length")
+            if n is None:
+                raise IOError(f"{path}: lmdb environment has no 'length' key")
+            self._n = int(n.decode("utf-8"))
 
     def __len__(self):
         return self._n
 
     def get(self, index: int) -> bytes:
         key = f"{index:06d}".encode("utf-8")
+        if self._pure is not None:
+            return self._pure.get(key)
         with self.env.begin(write=False) as txn:
             return txn.get(key)
 
     def close(self):
-        self.env.close()
+        if self._pure is not None:
+            self._pure.close()
+        else:
+            self.env.close()
 
 
 def open_image_store(path: str):
-    """Open a RecordStore directory, or an lmdb directory when the lmdb
-    package is available (reference datasets)."""
+    """Open a RecordStore directory, or an lmdb directory (reference
+    datasets; read via the lmdb package or the stdlib page reader)."""
     if os.path.exists(os.path.join(path, _FILENAME)):
         return RecordStore(path)
     if os.path.exists(os.path.join(path, "data.mdb")):
-        try:
-            return _LmdbStore(path)
-        except ImportError as e:
-            raise IOError(
-                f"{path} is an lmdb dataset but the lmdb package is not "
-                "installed; convert it with rick-prepare-data"
-            ) from e
+        return _LmdbStore(path)
     raise IOError(f"no record store found at {path}")
