@@ -82,12 +82,16 @@ def main(size: int = 256):
     real_small = np.asarray(
         jax.random.uniform(jax.random.key(9), (128, 3, SIZE, SIZE), minval=-1, maxval=1)
     )
+    # generation chunk scales down with resolution (batch-100 chunks OOM the
+    # 16 GB HBM above 256px: the top-layer activation alone is ~7 GB at 512)
+    gen_batch = 100 if SIZE <= 256 else (50 if SIZE <= 512 else 20)
     evaluator = Evaluator(
         gcfg,
         fid_real_samples=real_small,
         inception_nsamples=EVAL_N,
         batch_size=64,
         inception_params=inception_init(),
+        gen_batch=gen_batch,
     )
     evaluator.compute_inception_score(state["g_ema"])  # compile
     t0 = time.time()
@@ -95,16 +99,17 @@ def main(size: int = 256):
     evaluator.compute_inception_score(state["g_ema"])
     eval_s = (time.time() - t0) / 2
 
-    # raw generation throughput (value-synced)
-    gen = jax.jit(lambda gp, z, k: generator_apply(gcfg, gp, [z], rng=k)[0])
-    zb = jax.random.normal(jax.random.key(4), (100, 512))
+    # raw generation throughput (value-synced); fast=True matches the
+    # Evaluator's TPU generation path (fused Pallas upsample kernel)
+    gen = jax.jit(lambda gp, z, k: generator_apply(gcfg, gp, [z], rng=k, fast=True)[0])
+    zb = jax.random.normal(jax.random.key(4), (gen_batch, 512))
     img = gen(state["g_ema"], zb, jax.random.key(0))
     float(img.ravel()[0])
     t0 = time.time()
     for i in range(10):
         img = gen(state["g_ema"], zb, jax.random.key(i))
     float(img.ravel()[0])
-    gen_imgs_per_s = 100.0 / ((time.time() - t0) / 10)  # 100 imgs per call
+    gen_imgs_per_s = gen_batch / ((time.time() - t0) / 10)
 
     # fisher round cost
     noises = jax.random.normal(jax.random.key(5), (5, 512))
@@ -227,6 +232,12 @@ def e2e():
         "--store_checkpoints", "--checkpoints_freq", str(resume_ckpt),
         "--auto_resume", "--allow_random_fisher_noise",
     ]
+    # extra CLI flags for A/B runs (e.g. RICK_E2E_ARGS="--ada_margin 224"
+    # for the VERDICT r2 #10 margin parity experiment)
+    extra = os.environ.get("RICK_E2E_ARGS", "").split()
+    cmd += extra
+    if extra:
+        print(f"e2e extra args: {extra}")
 
     def last_iter():
         try:

@@ -76,8 +76,16 @@ class Evaluator:
         real_acts: Optional[np.ndarray] = None,
         seed: int = 0,
         mesh=None,
+        fast_gen: Optional[bool] = None,
     ):
         self.gcfg = gcfg
+        # fused Pallas upsample kernel for generation (forward-only; see
+        # ops/fused_upsample.py).  Auto: on for TPU, off elsewhere (interpret
+        # mode would crawl on CPU).  Same precision class as XLA's default
+        # f32 conv lowering (bf16 MXU passes).
+        self._fast = (
+            fast_gen if fast_gen is not None else jax.default_backend() == "tpu"
+        )
         # data-parallel eval (VERDICT r2 #2): on an N-device mesh the scan's
         # generation chunks are split across devices via shard_map and the
         # FID statistics reduced with psum -- the reference's analogue runs
@@ -144,7 +152,7 @@ class Evaluator:
             kz, kn = jax.random.split(k)
             z = jax.random.normal(kz, (gb, lat))
             # eval-only bf16 trunk: params stay f32, conv compute in gen_dtype
-            imgs, _ = generator_apply(gcfg, gp, [z], rng=kn, dtype=gen_dtype)
+            imgs, _ = generator_apply(gcfg, gp, [z], rng=kn, dtype=gen_dtype, fast=self._fast)
             imgs = imgs.astype(inc_dtype)
             if inc_dtype != jnp.float32:
                 incp = jax.tree.map(lambda a: a.astype(inc_dtype), incp)
@@ -236,7 +244,7 @@ class Evaluator:
                 def body(_, k):
                     kz, kn = jax.random.split(k)
                     z = jax.random.normal(kz, (gb, lat))
-                    imgs, _ = generator_apply(gcfg, gp, [z], rng=kn)
+                    imgs, _ = generator_apply(gcfg, gp, [z], rng=kn, fast=self._fast)
                     return None, vgg16_fc2_features(vp, imgs)
 
                 _, feats = jax.lax.scan(body, None, keys)
@@ -277,7 +285,9 @@ class Evaluator:
         self._real_acts_dev = jnp.asarray(self._real_acts, jnp.float32)
         self._real_stats64 = None  # lazy f64 real-side stats (host-FID path)
 
-        self._gen = jax.jit(lambda gp, z, k: generator_apply(gcfg, gp, [z], rng=k)[0])
+        self._gen = jax.jit(
+            lambda gp, z, k: generator_apply(gcfg, gp, [z], rng=k, fast=self._fast)[0]
+        )
 
     # ------------------------------------------------------------------
     def generate(self, g_ema, n: Optional[int] = None) -> np.ndarray:

@@ -211,14 +211,52 @@ class no_pallas_epilogue:
         _PALLAS_EPILOGUE_OK = self._prev
 
 
-def styled_conv_apply(params, x, style, noise, *, upsample=False, blur_kernel=(1, 3, 3, 1)):
+def styled_conv_apply(params, x, style, noise, *, upsample=False, blur_kernel=(1, 3, 3, 1), fast=False):
     """StyledConv = ModulatedConv2d + NoiseInjection + FusedLeakyReLU
     (`model_probe_tune.py:314-348`). `noise` is (B,1,H,W) or None.
+
+    `fast=True` routes the upsample path through the fused Pallas kernel
+    (`ops/fused_upsample.py`): convT + blur + demod + noise + bias + lrelu in
+    one VMEM pass, skipping the mid activation's HBM round trips.  Forward
+    only (no custom VJP) -- use on inference/eval paths (g_ema generation).
 
     RICK_PALLAS_EPILOGUE=1 fuses demod + noise + bias + lrelu into one Pallas
     VMEM pass on the non-upsample path (opt-in; see ops/pallas_kernels.py for
     the measured comparison vs XLA's automatic fusion)."""
     import os
+
+    if (
+        fast
+        and upsample
+        and params["conv"]["weight"].shape[2] == 3
+        and len(blur_kernel) == 4
+        # measured win region (scripts/bench_ops.py, v5e): the fused kernel
+        # beats the XLA chain at the small layers (one pass vs 4 dispatches)
+        # and loses at the large traffic-dominated ones, where its blend
+        # pipeline costs more VMEM passes than the saved HBM round trips
+        and x.shape[2] <= int(os.environ.get("RICK_FUSED_UPSAMPLE_MAX_H", "16"))
+    ):
+        from rick_tpu.ops.fused_upsample import convt_blur_act
+
+        batch, in_ch = x.shape[0], x.shape[1]
+        kh = 3
+        scale = 1.0 / math.sqrt(in_ch * kh * kh)
+        s = equal_linear_apply(params["conv"]["modulation"], style)  # (B, in)
+        weight = params["conv"]["weight"].astype(x.dtype) * scale
+        w2 = jnp.sum((weight * weight).astype(jnp.float32), axis=(2, 3))
+        sigma = jnp.einsum("bi,oi->bo", (s * s).astype(jnp.float32), w2)
+        demod = lax.rsqrt(sigma + 1e-8)
+        xs = x * s[:, :, None, None].astype(x.dtype)
+        h2, w2_sp = 2 * x.shape[2], 2 * x.shape[3]
+        if noise is None:
+            noise_s = jnp.zeros((1, 1, h2, w2_sp), jnp.float32)
+        else:
+            noise_s = noise.astype(jnp.float32) * params["noise_weight"].astype(jnp.float32)
+        return convt_blur_act(
+            xs, weight, demod, noise_s, params["act_bias"],
+            blur_kernel=blur_kernel,
+            interpret=jax.default_backend() == "cpu",
+        )
 
     if (
         not upsample

@@ -185,6 +185,7 @@ def generator_apply(
     return_latents: bool = False,
     return_feats: bool = False,
     dtype=jnp.float32,
+    fast: bool = False,
 ):
     """Full generator forward (`model_probe_tune.py:509-592`).
 
@@ -192,6 +193,8 @@ def generator_apply(
     the list of per-StyledConv features (return_feats), or None.
     `rng=None and noise=None` selects the registered constant noise buffers
     (the reference's randomize_noise=False path).
+    `fast=True` uses the fused Pallas upsample kernel (forward-only; for
+    inference/eval paths -- do not differentiate through it).
     """
     latent = make_latent(
         cfg,
@@ -211,6 +214,7 @@ def generator_apply(
         return_latents=return_latents,
         return_feats=return_feats,
         dtype=dtype,
+        fast=fast,
     )
 
 
@@ -224,6 +228,7 @@ def generator_apply_latent(
     return_latents: bool = False,
     return_feats: bool = False,
     dtype=jnp.float32,
+    fast: bool = False,
 ):
     """Core trunk taking the already-built (B, n_latent, style_dim) latent."""
     batch = latent.shape[0]
@@ -240,7 +245,7 @@ def generator_apply_latent(
     for block in range(len(params["to_rgbs"])):
         conv_a = params["convs"][2 * block]
         conv_b = params["convs"][2 * block + 1]
-        out = styled_conv_apply(conv_a, out, latent[:, i], noise[2 * block + 1], upsample=True, blur_kernel=bk)
+        out = styled_conv_apply(conv_a, out, latent[:, i], noise[2 * block + 1], upsample=True, blur_kernel=bk, fast=fast)
         feat_list.append(out)
         out = styled_conv_apply(conv_b, out, latent[:, i + 1], noise[2 * block + 2], blur_kernel=bk)
         feat_list.append(out)

@@ -172,9 +172,22 @@ def blur(x, kernel, pad, upsample_factor: int = 1) -> jnp.ndarray:
     """FIR blur, mirror of `Blur` (`model_probe_tune.py:82-98`).
 
     `kernel` is the raw 1-D/2-D spec; gain is upsample_factor**2 when the blur
-    follows a transposed conv.  1-D specs use the separable path."""
+    follows a transposed conv.
+
+    Lowering is shape-dependent (both measured on v5e, scripts/bench_ops.py +
+    bench_blur_ab.py): for LARGE activations (eval-scale, HBM-bandwidth bound)
+    ONE 2-D depthwise pass wins 24-28% over the separable two-pass
+    formulation, whose second read+write of the activation buys FLOPs that
+    were never the bottleneck; for small activations (train batch 2) the
+    separable path keeps a ~4% faster full train iteration (better backward).
+    RICK_BLUR=sep / RICK_BLUR=2d force one lowering for A/B."""
+    import os
+
     k1 = _norm_1d(kernel)
-    if k1 is not None:
+    mode = os.environ.get("RICK_BLUR")
+    if mode is None:
+        mode = "2d" if x.size > (1 << 27) else "sep"
+    if k1 is not None and mode == "sep":
         return upfirdn2d_separable(x, k1 * upsample_factor, pad=pad)
     kernel = make_kernel(kernel)
     if upsample_factor > 1:
