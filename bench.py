@@ -23,7 +23,11 @@ import time
 import numpy as np
 
 
-def main(size: int = 256):
+def main(size: int = 256, part: str = "all"):
+    """part: 'all' | 'train' | 'eval' -- split measurement for working sets
+    where the axon tunnel worker cannot survive the whole sequence in one
+    process (observed at 1024px: the worker crashes at the eval sync when the
+    train phases ran first, regardless of eval chunk size or codepath)."""
     import jax
     import jax.numpy as jnp
 
@@ -61,20 +65,22 @@ def main(size: int = 256):
     # its multi-second compile inside the timed region.
     # NOTE: timings sync by fetching a VALUE -- block_until_ready returns
     # before execution completes on this backend.
-    m = None
-    for i in (16, 17, 18):
-        rng, k = jax.random.split(rng)
-        state, m = run_iteration(phases, state, real, k, i, tcfg)
-    float(m["d"])
+    iter_s = float("nan")
+    if part in ("all", "train"):
+        m = None
+        for i in (16, 17, 18):
+            rng, k = jax.random.split(rng)
+            state, m = run_iteration(phases, state, real, k, i, tcfg)
+        float(m["d"])
 
-    # phase-mix measurement over two full 16-iter cycles
-    t0 = time.time()
-    NMEAS = 32
-    for i in range(NMEAS):
-        rng, k = jax.random.split(rng)
-        state, m = run_iteration(phases, state, real, k, i + 16, tcfg)
-    float(m["d"])
-    iter_s = (time.time() - t0) / NMEAS
+        # phase-mix measurement over two full 16-iter cycles
+        t0 = time.time()
+        NMEAS = 32
+        for i in range(NMEAS):
+            rng, k = jax.random.split(rng)
+            state, m = run_iteration(phases, state, real, k, i + 16, tcfg)
+        float(m["d"])
+        iter_s = (time.time() - t0) / NMEAS
 
     # eval cost: the real Evaluator (single-dispatch scan over 5000 imgs)
     from rick_tpu.metrics import Evaluator
@@ -84,76 +90,87 @@ def main(size: int = 256):
     )
     # generation chunk scales down with resolution (batch-100 chunks OOM the
     # 16 GB HBM above 256px: the top-layer activation alone is ~7 GB at 512)
-    gen_batch = 100 if SIZE <= 256 else (50 if SIZE <= 512 else 20)
-    evaluator = Evaluator(
-        gcfg,
-        fid_real_samples=real_small,
-        inception_nsamples=EVAL_N,
-        batch_size=64,
-        inception_params=inception_init(),
-        gen_batch=gen_batch,
-    )
-    evaluator.compute_inception_score(state["g_ema"])  # compile
-    t0 = time.time()
-    evaluator.compute_inception_score(state["g_ema"])
-    evaluator.compute_inception_score(state["g_ema"])
-    eval_s = (time.time() - t0) / 2
-
-    # raw generation throughput (value-synced); fast=True matches the
-    # Evaluator's TPU generation path (fused Pallas upsample kernel)
-    gen = jax.jit(lambda gp, z, k: generator_apply(gcfg, gp, [z], rng=k, fast=True)[0])
-    zb = jax.random.normal(jax.random.key(4), (gen_batch, 512))
-    img = gen(state["g_ema"], zb, jax.random.key(0))
-    float(img.ravel()[0])
-    t0 = time.time()
-    for i in range(10):
-        img = gen(state["g_ema"], zb, jax.random.key(i))
-    float(img.ravel()[0])
-    gen_imgs_per_s = gen_batch / ((time.time() - t0) / 10)
-
-    # fisher round cost
-    noises = jax.random.normal(jax.random.key(5), (5, 512))
-    reals5 = jax.random.normal(jax.random.key(6), (5, 3, SIZE, SIZE))
-    def _sync(tree):
-        return float(jax.tree_util.tree_leaves(tree)[0].ravel()[0])
-
-    warm = fisher_round(  # compile
-        gcfg, dcfg, state["g_ema"], state["d_ema"], noises, reals5,
-        jax.random.key(7), batch=BATCH, fisher_quantile=40.0, prune_quantile=0.1,
-    )
-    _sync(warm)  # drain the compile (value fetch = real sync)
-    t0 = time.time()
-    for j in range(3):
-        masks = fisher_round(
-            gcfg, dcfg, state["g_ema"], state["d_ema"], noises, reals5,
-            jax.random.key(8 + j), batch=BATCH, fisher_quantile=40.0, prune_quantile=0.1,
+    # 1024px: chunk 20 exceeds HBM statically; chunk 10 compiles but the
+    # 500-chunk eval execution with the train state resident still crashes
+    # the worker (runtime memory pressure) -- chunk 5 is the measured-safe size
+    gen_batch = 100 if SIZE <= 256 else (50 if SIZE <= 512 else 10)
+    eval_s = gen_imgs_per_s = fisher_s = float("nan")
+    if part in ("all", "eval"):
+        evaluator = Evaluator(
+            gcfg,
+            fid_real_samples=real_small,
+            inception_nsamples=EVAL_N,
+            batch_size=64,
+            inception_params=inception_init(),
+            gen_batch=gen_batch,
         )
-        _sync(masks)
-    fisher_s = (time.time() - t0) / 3
+        evaluator.compute_inception_score(state["g_ema"])  # compile
+        t0 = time.time()
+        evaluator.compute_inception_score(state["g_ema"])
+        evaluator.compute_inception_score(state["g_ema"])
+        eval_s = (time.time() - t0) / 2
+
+        # raw generation throughput (value-synced); fast=True matches the
+        # Evaluator's TPU generation path (fused Pallas upsample kernel)
+        gen = jax.jit(lambda gp, z, k: generator_apply(gcfg, gp, [z], rng=k, fast=True)[0])
+        zb = jax.random.normal(jax.random.key(4), (gen_batch, 512))
+        img = gen(state["g_ema"], zb, jax.random.key(0))
+        float(img.ravel()[0])
+        t0 = time.time()
+        for i in range(10):
+            img = gen(state["g_ema"], zb, jax.random.key(i))
+        float(img.ravel()[0])
+        gen_imgs_per_s = gen_batch / ((time.time() - t0) / 10)
+
+    if part in ("all", "train"):
+        # fisher round cost
+        noises = jax.random.normal(jax.random.key(5), (5, 512))
+        reals5 = jax.random.normal(jax.random.key(6), (5, 3, SIZE, SIZE))
+        def _sync(tree):
+            return float(jax.tree_util.tree_leaves(tree)[0].ravel()[0])
+
+        warm = fisher_round(  # compile
+            gcfg, dcfg, state["g_ema"], state["d_ema"], noises, reals5,
+            jax.random.key(7), batch=BATCH, fisher_quantile=40.0, prune_quantile=0.1,
+        )
+        _sync(warm)  # drain the compile (value fetch = real sync)
+        t0 = time.time()
+        for j in range(3):
+            masks = fisher_round(
+                gcfg, dcfg, state["g_ema"], state["d_ema"], noises, reals5,
+                jax.random.key(8 + j), batch=BATCH, fisher_quantile=40.0, prune_quantile=0.1,
+            )
+            _sync(masks)
+        fisher_s = (time.time() - t0) / 3
 
     n_fisher = (ITERS_TOTAL - WARMUP) // FISHER_FREQ + 1
     n_evals = ITERS_TOTAL // EVAL_FREQ + 1
     projected_s = ITERS_TOTAL * iter_s + n_fisher * fisher_s + n_evals * eval_s
     projected_min = projected_s / 60.0
 
+    detail = {
+        "train_iter_ms": round(iter_s * 1000, 1),
+        "train_iters_per_s": round(1.0 / iter_s, 2),
+        "fid5k_eval_s": round(eval_s, 2),
+        f"gen_imgs_per_s_{SIZE}px": round(gen_imgs_per_s, 0),
+        "fisher_round_s": round(fisher_s, 2),
+    }
+    detail = {k: v for k, v in detail.items() if v == v}  # drop NaN (split runs)
     print(
         json.dumps(
             {
                 "metric": (
                     "projected FFHQ->Babies recipe wall-clock (1750 iters + 36x FID@5k)"
                     if SIZE == 256 else
-                    f"projected recipe wall-clock at {SIZE}px (1750 iters + 36x FID@5k)"
+                    f"projected recipe wall-clock at {SIZE}px (1750 iters + 36x FID@5k"
+                    + ("" if part == "all" else f", part={part}") + ")"
                 ),
-                "value": round(projected_min, 2),
+                "value": round(projected_min, 2) if projected_min == projected_min else None,
                 "unit": "minutes",
-                "vs_baseline": round(15.0 / projected_min, 3),
-                "detail": {
-                    "train_iter_ms": round(iter_s * 1000, 1),
-                    "train_iters_per_s": round(1.0 / iter_s, 2),
-                    "fid5k_eval_s": round(eval_s, 2),
-                    f"gen_imgs_per_s_{SIZE}px": round(gen_imgs_per_s, 0),
-                    "fisher_round_s": round(fisher_s, 2),
-                },
+                "vs_baseline": (
+                    round(15.0 / projected_min, 3) if projected_min == projected_min else None
+                ),
+                "detail": detail,
             }
         )
     )
@@ -316,4 +333,7 @@ if __name__ == "__main__":
         size = 256
         if "--size" in sys.argv:  # VERDICT r2 #7: 512/1024px datapoints
             size = int(sys.argv[sys.argv.index("--size") + 1])
-        main(size)
+        part = "all"
+        if "--part" in sys.argv:  # split runs for 1024px (see main docstring)
+            part = sys.argv[sys.argv.index("--part") + 1]
+        main(size, part)

@@ -17,6 +17,7 @@ numbers, strictly less work).
 from __future__ import annotations
 
 import functools
+import math
 from typing import Dict, Optional
 
 import jax
@@ -82,10 +83,16 @@ class Evaluator:
         # fused Pallas upsample kernel for generation (forward-only; see
         # ops/fused_upsample.py).  Auto: on for TPU, off elsewhere (interpret
         # mode would crawl on CPU).  Same precision class as XLA's default
-        # f32 conv lowering (bf16 MXU passes).
-        self._fast = (
-            fast_gen if fast_gen is not None else jax.default_backend() == "tpu"
-        )
+        # f32 conv lowering (bf16 MXU passes).  RICK_FAST_GEN=0/1 overrides.
+        import os as _os
+
+        env_fast = _os.environ.get("RICK_FAST_GEN")
+        if env_fast is not None:
+            self._fast = env_fast == "1"
+        else:
+            self._fast = (
+                fast_gen if fast_gen is not None else jax.default_backend() == "tpu"
+            )
         # data-parallel eval (VERDICT r2 #2): on an N-device mesh the scan's
         # generation chunks are split across devices via shard_map and the
         # FID statistics reduced with psum -- the reference's analogue runs
@@ -167,16 +174,46 @@ class Evaluator:
             return acts.reshape(keys.shape[0] * gb, -1)
 
         if self.mesh is None:
+            # single-dispatch scan by default.  At 1024px the one execution
+            # runs for minutes and reproducibly crashes the axon tunnel
+            # worker (duration watchdog, not memory: chunk sizes 5/10/20 all
+            # crash identically) -- segment the scan into a few dispatches;
+            # activations stay device-resident (n x 2048 f32 = 41 MB), stats
+            # and the single host fetch are unchanged.
+            n_seg = 1
+            if gcfg is not None and getattr(gcfg, "size", 0) >= 1024:
+                n_seg = math.gcd(10, nc) if nc >= 10 else 1
+            self._n_seg = n_seg
 
-            def eval_scan(gp, incp, key, want_acts: bool):
-                acts = chunk_scan(gp, incp, jax.random.split(key, nc))
-                mu, cov = _stats_from_acts(acts)
-                if want_acts:
-                    return mu, cov, acts[:2000]
-                return mu, cov
+            if n_seg == 1:
 
-            self._eval_stats = jax.jit(functools.partial(eval_scan, want_acts=False))
-            self._eval_stats_acts = jax.jit(functools.partial(eval_scan, want_acts=True))
+                def eval_scan(gp, incp, key, want_acts: bool):
+                    acts = chunk_scan(gp, incp, jax.random.split(key, nc))
+                    mu, cov = _stats_from_acts(acts)
+                    if want_acts:
+                        return mu, cov, acts[:2000]
+                    return mu, cov
+
+                self._eval_stats = jax.jit(functools.partial(eval_scan, want_acts=False))
+                self._eval_stats_acts = jax.jit(functools.partial(eval_scan, want_acts=True))
+            else:
+                seg_scan = jax.jit(lambda gp, incp, keys: chunk_scan(gp, incp, keys))
+                stats_acts = jax.jit(
+                    lambda acts: _stats_from_acts(acts) + (acts[:2000],)
+                )
+                stats_only = jax.jit(_stats_from_acts)
+                nc_seg = nc // n_seg
+
+                def eval_segmented(gp, incp, key, want_acts: bool):
+                    keys = jax.random.split(key, nc).reshape(n_seg, nc_seg)
+                    parts = [seg_scan(gp, incp, keys[s]) for s in range(n_seg)]
+                    acts = jnp.concatenate(parts, axis=0)
+                    if want_acts:
+                        return stats_acts(acts)
+                    return stats_only(acts)
+
+                self._eval_stats = functools.partial(eval_segmented, want_acts=False)
+                self._eval_stats_acts = functools.partial(eval_segmented, want_acts=True)
         else:
             from jax.sharding import PartitionSpec as P
 
