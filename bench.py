@@ -214,6 +214,10 @@ def e2e():
     import sys
 
     smoke = os.environ.get("RICK_E2E_SMOKE") == "1"
+    # RICK_E2E_RECIPE=cat runs the reference's second README recipe
+    # (FFHQ->AFHQ-Cat, `README.md:107-114`: 2250 iters, fisher_quantile 85,
+    # prune_quantile 0.075); default is the FFHQ->Babies recipe.
+    recipe = os.environ.get("RICK_E2E_RECIPE", "babies")
     # kill+resume variant: SIGKILL after the periodic checkpoint lands, then
     # --auto_resume.  Exercised by the smoke rehearsal and one full run (see
     # ROUND2.md: 70.8 min incl. the replay); default off so the recurring
@@ -229,6 +233,11 @@ def e2e():
 
     size, iters, warmup = (64, 40, 4) if smoke else (256, 1750, 250)
     n_test, every, kill_after, resume_ckpt = (64, 20, 20, 20) if smoke else (5000, 50, 700, 500)
+    fisher_q, prune_q = "40", "0.1"
+    if recipe == "cat":
+        fisher_q, prune_q = "85", "0.075"
+        if not smoke:
+            iters = 2250
 
     t0 = time.time()
     if not os.path.exists(os.path.join(root, "_processed_test", "babies")):
@@ -241,8 +250,8 @@ def e2e():
         "--data_root", root, "--output_root", out_root,
         "--size", str(size), "--batch", "2", "--iter", str(iters),
         "--augment", "--warmup_iter", str(warmup),
-        "--fisher_freq", "50", "--fisher_quantile", "40",
-        "--prune_quantile", "0.1", "--num_fisher_img", "5",
+        "--fisher_freq", "50", "--fisher_quantile", fisher_q,
+        "--prune_quantile", prune_q, "--num_fisher_img", "5",
         "--eval_in_training", "--eval_in_training_freq", str(every),
         "--n_sample_test", str(n_test),
         "--store_samples", "--samples_freq", str(resume_ckpt),
@@ -306,7 +315,8 @@ def e2e():
         json.dumps(
             {
                 "metric": ("SMOKE e2e wall-clock" if smoke else
-                           "MEASURED FFHQ->Babies recipe wall-clock (1750 iters + 36x FID@5k"
+                           f"MEASURED FFHQ->{'AFHQ-Cat' if recipe == 'cat' else 'Babies'}"
+                           f" recipe wall-clock ({iters} iters + {iters // every + 1}x FID@5k"
                            + (", incl. mid-run SIGKILL + auto-resume" if do_kill else "")
                            + ")"),
                 "value": round(wall_min, 2),

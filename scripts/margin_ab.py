@@ -70,6 +70,14 @@ def main():
     print("\nmargin A/B summary (synthetic recipe, seeded metric weights):")
     print(f"  margin  64: best {r64[0]:.3f}  final {r64[1]:.3f}  wall {r64[2]/60:.1f} min")
     print(f"  margin 224: best {r224[0]:.3f}  final {r224[1]:.3f}  wall {r224[2]/60:.1f} min")
+    with open(os.path.join(OUT, "summary.json"), "w") as f:
+        json.dump(
+            {
+                "margin64": {"best_fid": r64[0], "final_fid": r64[1], "wall_min": r64[2] / 60},
+                "margin224": {"best_fid": r224[0], "final_fid": r224[1], "wall_min": r224[2] / 60},
+            },
+            f, indent=2,
+        )
 
 
 if __name__ == "__main__":
