@@ -369,12 +369,23 @@ def main(argv=None):
 
     # ---- evaluator (`:947-958`)
     evaluator = None
-    real_imgs_cache = os.path.join(args.output_path, "real_imgs.npy")
+    # Real-set caches are DATASET-derived (images + their pool3 activations
+    # depend only on {dataset, size, n_sample_test, seed}, never on the run),
+    # so they live next to the dataset and are shared by every run/resume/AB
+    # arm on it -- on this 1-core host the PNG decode alone costs ~5 min per
+    # run otherwise.  Reference parity note: the reference recomputes the
+    # real stats each run (`gan_training/eval.py:23-25`); caching them is a
+    # pure speedup with identical values (uint8 pixels are exact).
+    cache_dir = os.path.join(args.data_root, "_cache")
+    cache_key = f"{args.data_path}_{args.size}px_{args.n_sample_test}_s{args.seed}"
+    real_imgs_cache = os.path.join(cache_dir, f"real_imgs_{cache_key}.npy")
     real_acts_cache = os.path.join(
-        args.output_path,
-        f"real_acts_{args.n_sample_test}"
+        cache_dir,
+        f"real_acts_{cache_key}"
         f"{'_bf16' if args.eval_bf16 else ''}{'_nhwc' if args.eval_nhwc else ''}.npy",
     )
+    if is_main:
+        os.makedirs(cache_dir, exist_ok=True)
     if args.eval_in_training:
         # real-set cache, reference parity (`gan_training/eval.py:23-25`):
         # decoding n_sample_test PNGs costs minutes on this 1-core host, so a
@@ -571,9 +582,8 @@ def main(argv=None):
     saver.close()  # drain pending checkpoint writes
     stats.close()
     if is_main:
-        for cache in (real_imgs_cache, real_acts_cache):
-            if os.path.exists(cache):  # reference deletes the cache (`:198`)
-                os.remove(cache)
+        # dataset-level caches persist across runs (see cache_dir note above);
+        # the reference's per-run cache deletion (`:198`) has no analogue here
         print(f"done in {time.time()-t_start:.1f}s; best FID {best_fid}")
 
 

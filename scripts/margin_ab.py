@@ -65,8 +65,11 @@ def run(label, extra_args):
 
 def main():
     os.makedirs(OUT, exist_ok=True)
-    r64 = run("margin64", "")
-    r224 = run("margin224", "--ada_margin 224")
+    # MARGIN_AB_BASE lets a time-bounded environment shrink both arms
+    # identically (e.g. "--iter 1000"); the A/B stays like-for-like.
+    base = os.environ.get("MARGIN_AB_BASE", "").strip()
+    r64 = run("margin64", base)
+    r224 = run("margin224", (base + " --ada_margin 224").strip())
     print("\nmargin A/B summary (synthetic recipe, seeded metric weights):")
     print(f"  margin  64: best {r64[0]:.3f}  final {r64[1]:.3f}  wall {r64[2]/60:.1f} min")
     print(f"  margin 224: best {r224[0]:.3f}  final {r224[1]:.3f}  wall {r224[2]/60:.1f} min")
