@@ -240,7 +240,12 @@ def e2e():
             iters = 2250
 
     t0 = time.time()
-    if not os.path.exists(os.path.join(root, "_processed_test", "babies")):
+    # check for the records FILE, not the directory: a killed builder can
+    # leave an empty dataset dir behind (the records write itself is atomic)
+    if not all(
+        os.path.exists(os.path.join(root, split, "babies", "records.rdb"))
+        for split in ("_processed_train", "_processed_test")
+    ):
         _build_synthetic_dataset(root, n_test=n_test, size=size)
     prep_s = time.time() - t0
 

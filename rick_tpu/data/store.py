@@ -47,11 +47,16 @@ class RecordStoreWriter:
         for b in self._blobs:
             table += struct.pack("<QQ", offset, len(b))
             offset += len(b)
-        with open(self._file, "wb") as f:
+        # atomic: a killed writer must never leave a truncated records file
+        # (a partial store makes the dataset dir look valid to existence
+        # checks while every open fails)
+        tmp = self._file + ".tmp"
+        with open(tmp, "wb") as f:
             f.write(header)
             f.write(bytes(table))
             for b in self._blobs:
                 f.write(b)
+        os.replace(tmp, self._file)
 
     def __enter__(self):
         return self

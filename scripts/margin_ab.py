@@ -21,6 +21,8 @@ OUT = "/tmp/rick_margin_ab"
 
 def fid_trail(stats_path):
     out = []
+    if not os.path.exists(stats_path):
+        return out
     with open(stats_path) as f:
         for line in f:
             try:
@@ -53,6 +55,9 @@ def run(label, extra_args):
     with open(os.path.join(dst, "bench_stdout.txt"), "w") as f:
         f.write(p.stdout + "\n--- stderr tail ---\n" + p.stderr[-2000:])
     print(f"[{label}] rc={p.returncode} wall={wall/60:.1f} min")
+    if p.returncode != 0:
+        print(f"[{label}] FAILED — stderr tail:\n{p.stderr[-3000:]}")
+        raise RuntimeError(f"{label} arm failed rc={p.returncode}")
     line = [l for l in p.stdout.splitlines() if l.startswith("{")]
     if line:
         print(f"[{label}] {line[-1]}")
