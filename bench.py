@@ -28,7 +28,21 @@ def main(size: int = 256, part: str = "all"):
     where the axon tunnel worker cannot survive the whole sequence in one
     process (observed at 1024px: the worker crashes at the eval sync when the
     train phases ran first, regardless of eval chunk size or codepath)."""
+    import os
+
     import jax
+
+    # persistent compilation cache, same location/knob as the train CLI:
+    # repeated bench invocations skip the multi-minute phase compiles
+    if not os.environ.get("RICK_NO_XLA_CACHE"):
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get(
+                "RICK_XLA_CACHE_DIR", os.path.expanduser("~/.cache/rick_tpu_xla")
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from rick_tpu.metrics.fid import get_activations
