@@ -158,6 +158,72 @@ def load_fisher_noises(noise_dir, num_fisher_img, latent, batch, *, allow_random
     return np.concatenate(noises, axis=0), rows
 
 
+def _dataset_fingerprint(path: str) -> str:
+    """Content fingerprint of a dataset directory, for real-set cache keys.
+
+    Uses the backing store file's (size, mtime_ns) — `records.rdb` or lmdb
+    `data.mdb` — so rebuilding the store at the same path changes the key.
+    For a plain image directory, falls back to (entry count, newest mtime_ns).
+    """
+    for fname in ("records.rdb", "data.mdb"):
+        f = os.path.join(path, fname)
+        if os.path.exists(f):
+            st = os.stat(f)
+            return f"{st.st_size:x}.{st.st_mtime_ns:x}"
+    try:
+        n, newest = 0, 0
+        with os.scandir(path) as it:
+            for e in it:
+                n += 1
+                newest = max(newest, e.stat().st_mtime_ns)
+        return f"d{n:x}.{newest:x}"
+    except OSError:
+        return "nofp"
+
+
+def _real_cache_paths(args, test_path: str, cache_dir: str):
+    """(real_imgs, real_acts) cache paths for this run's real-set key.
+
+    Key ingredients (ADVICE r3): path separators are sanitized out of
+    data_path (a nested 'ffhq/train' must not point the cache into a
+    nonexistent subdirectory), and the dataset CONTENT is fingerprinted
+    (store size+mtime) so a rebuilt/replaced store at the same path
+    invalidates stale caches instead of silently reusing the old real set.
+    """
+    safe_data_path = args.data_path.replace(os.sep, "_").replace("/", "_")
+    fp = _dataset_fingerprint(test_path)
+    cache_key = f"{safe_data_path}_{args.size}px_{args.n_sample_test}_s{args.seed}_{fp}"
+    real_imgs = os.path.join(cache_dir, f"real_imgs_{cache_key}.npy")
+    real_acts = os.path.join(
+        cache_dir,
+        f"real_acts_{cache_key}"
+        f"{'_bf16' if args.eval_bf16 else ''}{'_nhwc' if args.eval_nhwc else ''}.npy",
+    )
+    return real_imgs, real_acts
+
+
+def _evict_stale_real_caches(cache_dir: str, keep_keys) -> None:
+    """Delete real-set cache files whose key is not in `keep_keys`.
+
+    These caches are ~1 GB at 256px/5k samples (~16 GB at 1024px) and now
+    accumulate per {data_path, size, n_sample_test, seed, fingerprint} key
+    (ADVICE r3); opt-in eviction via RICK_CLEAR_REAL_CACHE=1 keeps only the
+    current run's keys.
+    """
+    import glob
+
+    keep = {os.path.basename(k) for k in keep_keys}
+    for f in glob.glob(os.path.join(cache_dir, "real_imgs_*.npy")) + glob.glob(
+        os.path.join(cache_dir, "real_acts_*.npy")
+    ):
+        if os.path.basename(f) not in keep:
+            try:
+                os.remove(f)
+                print(f"evicted stale real-set cache {f}")
+            except OSError:
+                pass
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
@@ -377,15 +443,11 @@ def main(argv=None):
     # real stats each run (`gan_training/eval.py:23-25`); caching them is a
     # pure speedup with identical values (uint8 pixels are exact).
     cache_dir = os.path.join(args.data_root, "_cache")
-    cache_key = f"{args.data_path}_{args.size}px_{args.n_sample_test}_s{args.seed}"
-    real_imgs_cache = os.path.join(cache_dir, f"real_imgs_{cache_key}.npy")
-    real_acts_cache = os.path.join(
-        cache_dir,
-        f"real_acts_{cache_key}"
-        f"{'_bf16' if args.eval_bf16 else ''}{'_nhwc' if args.eval_nhwc else ''}.npy",
-    )
+    real_imgs_cache, real_acts_cache = _real_cache_paths(args, test_path, cache_dir)
     if is_main:
         os.makedirs(cache_dir, exist_ok=True)
+        if os.environ.get("RICK_CLEAR_REAL_CACHE") == "1":
+            _evict_stale_real_caches(cache_dir, [real_imgs_cache, real_acts_cache])
     if args.eval_in_training:
         # real-set cache, reference parity (`gan_training/eval.py:23-25`):
         # decoding n_sample_test PNGs costs minutes on this 1-core host, so a
@@ -401,8 +463,11 @@ def main(argv=None):
                 np.rint((x_real_f32 + 1.0) * 127.5), 0, 255
             ).astype(np.uint8)
             if is_main:
-                np.save(real_imgs_cache + ".tmp.npy", x_real_test)
-                os.replace(real_imgs_cache + ".tmp.npy", real_imgs_cache)
+                # per-process tmp name: concurrent runs on the same dataset
+                # must not interleave writes into one tmp file (ADVICE r3)
+                tmp = f"{real_imgs_cache}.{os.getpid()}.tmp.npy"
+                np.save(tmp, x_real_test)
+                os.replace(tmp, real_imgs_cache)
         # pool3 activations of the real set are run-invariant: cache them so
         # a resumed run skips the 5000-image upload+extraction entirely
         real_acts = np.load(real_acts_cache) if os.path.exists(real_acts_cache) else None
@@ -418,8 +483,9 @@ def main(argv=None):
             mesh=mesh,  # data-parallel eval: generation chunks spread over the mesh
         )
         if real_acts is None and is_main:
-            np.save(real_acts_cache + ".tmp.npy", evaluator._real_acts)
-            os.replace(real_acts_cache + ".tmp.npy", real_acts_cache)
+            tmp = f"{real_acts_cache}.{os.getpid()}.tmp.npy"
+            np.save(tmp, evaluator._real_acts)
+            os.replace(tmp, real_acts_cache)
         if is_main:
             x_real = get_nsamples(train_ds, 10)
             save_image_grid(x_real, os.path.join(args.output_path, "real.png"), nrow=5)

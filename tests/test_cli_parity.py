@@ -137,3 +137,54 @@ def test_readme_recipe_commands_parse():
     assert a.iter == 1750 and a.fisher_quantile == 40 and a.augment
     b = ours.parse_args(cat)
     assert b.iter == 2250 and b.prune_quantile == 0.075
+
+
+def test_real_cache_fingerprint_and_eviction(tmp_path):
+    """ADVICE r3: the real-set cache key fingerprints dataset content (a
+    rebuilt store invalidates the cache) and stale keys are evictable."""
+    from rick_tpu.cli.train import _dataset_fingerprint, _evict_stale_real_caches
+
+    ds = tmp_path / "ds"
+    ds.mkdir()
+    rec = ds / "records.rdb"
+    rec.write_bytes(b"a" * 100)
+    os.utime(rec, ns=(1_000_000_000, 1_000_000_000))
+    fp1 = _dataset_fingerprint(str(ds))
+    # same content, same stamp -> stable key
+    assert _dataset_fingerprint(str(ds)) == fp1
+    # rebuilt store (different size or mtime) -> different key
+    rec.write_bytes(b"b" * 101)
+    os.utime(rec, ns=(2_000_000_000, 2_000_000_000))
+    assert _dataset_fingerprint(str(ds)) != fp1
+    # plain image dir fallback changes when a file is added
+    imgdir = tmp_path / "imgs"
+    imgdir.mkdir()
+    (imgdir / "a.png").write_bytes(b"x")
+    fp_dir = _dataset_fingerprint(str(imgdir))
+    (imgdir / "b.png").write_bytes(b"y")
+    assert _dataset_fingerprint(str(imgdir)) != fp_dir
+
+    cache = tmp_path / "_cache"
+    cache.mkdir()
+    keep = cache / "real_imgs_k1.npy"
+    stale = cache / "real_imgs_old.npy"
+    stale_acts = cache / "real_acts_old.npy"
+    other = cache / "unrelated.txt"
+    for f in (keep, stale, stale_acts, other):
+        f.write_bytes(b"z")
+    _evict_stale_real_caches(str(cache), [str(keep)])
+    assert keep.exists() and other.exists()
+    assert not stale.exists() and not stale_acts.exists()
+
+
+def test_cache_key_sanitizes_path_separators(tmp_path):
+    """A data_path like 'ffhq/train' must not create cache paths pointing
+    into nonexistent subdirectories (ADVICE r3)."""
+    from rick_tpu.cli.train import _real_cache_paths
+
+    args = build_parser().parse_args(["--data_path", "ffhq/train"])
+    imgs, acts = _real_cache_paths(args, str(tmp_path), str(tmp_path / "_cache"))
+    # both paths are direct children of the cache dir
+    for p in (imgs, acts):
+        assert os.path.dirname(p) == str(tmp_path / "_cache")
+        assert "ffhq_train" in os.path.basename(p)
