@@ -362,14 +362,38 @@ def res_block_apply(params, x, *, blur_kernel=(1, 3, 3, 1)):
     return out, f1, f2
 
 
-def minibatch_stddev(x, *, stddev_group=25, stddev_feat=1):
-    """Minibatch stddev with group size min(batch, 25) (`model_probe_tune.py:748-756`)."""
+def minibatch_stddev(x, *, stddev_group=25, stddev_feat=1, splits=1):
+    """Minibatch stddev with group size min(batch, 25) (`model_probe_tune.py:748-756`).
+
+    `splits=s` treats the batch as `s` independent contiguous sub-batches and
+    computes the group statistics within each one — exactly equivalent to `s`
+    separate calls on the halves.  This allows running D on concat([real,
+    fake]) as ONE batched forward (the reference calls D twice,
+    `train_dynamic_update_prune.py:407-410`) without mixing real and fake
+    images inside a stddev group.  NOTE: the trainer measured that formulation
+    and kept the two-call one — on v5e the batch-4 fused D fwd+bwd is ~3-8 ms
+    SLOWER per iteration than two batch-2 calls (ROUND4.md); the support stays
+    because the equivalence is load-bearing for any future batched use.
+    """
     batch, channel, height, width = x.shape
-    group = min(batch, stddev_group)
-    y = x.reshape(group, -1, stddev_feat, channel // stddev_feat, height, width)
-    var = jnp.var(y, axis=0)  # (B//group, feat, C//feat, H, W)
+    if splits == 1:
+        group = min(batch, stddev_group)
+        y = x.reshape(group, -1, stddev_feat, channel // stddev_feat, height, width)
+        var = jnp.var(y, axis=0)  # (B//group, feat, C//feat, H, W)
+        stddev = jnp.sqrt(var + 1e-8)
+        stddev = jnp.mean(stddev, axis=(2, 3, 4), keepdims=True)
+        stddev = jnp.squeeze(stddev, axis=2)  # (B//group, feat=1, 1, 1)
+        stddev = jnp.tile(stddev, (group, 1, height, width))
+        return jnp.concatenate([x, stddev.astype(x.dtype)], axis=1)
+
+    assert batch % splits == 0, (batch, splits)
+    b = batch // splits  # per-split batch, matching a standalone call on it
+    group = min(b, stddev_group)
+    y = x.reshape(splits, group, b // group, stddev_feat, channel // stddev_feat, height, width)
+    var = jnp.var(y, axis=1)  # (s, b//group, feat, C//feat, H, W)
     stddev = jnp.sqrt(var + 1e-8)
-    stddev = jnp.mean(stddev, axis=(2, 3, 4), keepdims=True)
-    stddev = jnp.squeeze(stddev, axis=2)  # (B//group, feat=1, 1, 1)
-    stddev = jnp.tile(stddev, (group, 1, height, width))
+    stddev = jnp.mean(stddev, axis=(3, 4, 5), keepdims=True)
+    stddev = jnp.squeeze(stddev, axis=3)  # (s, b//group, feat, 1, 1)
+    stddev = jnp.tile(stddev, (1, group, 1, height, width))  # (s, b, feat, H, W)
+    stddev = stddev.reshape(batch, stddev_feat, height, width)
     return jnp.concatenate([x, stddev.astype(x.dtype)], axis=1)

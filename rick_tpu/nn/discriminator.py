@@ -72,8 +72,14 @@ def discriminator_init(key, cfg: DiscriminatorConfig):
     return {"convs": convs, "final_conv": final_conv, "final_linear": final_linear}
 
 
-def discriminator_apply(cfg: DiscriminatorConfig, params, x, *, dtype=jnp.float32):
-    """Forward pass; returns (score (B,1), feat list)."""
+def discriminator_apply(cfg: DiscriminatorConfig, params, x, *, dtype=jnp.float32, stddev_splits=1):
+    """Forward pass; returns (score (B,1), feat list).
+
+    `stddev_splits=s` computes the minibatch-stddev statistics within `s`
+    contiguous sub-batches — exactly equivalent to `s` separate forwards on
+    the halves (allows batching the reference's real/fake D calls,
+    `train_dynamic_update_prune.py:407-410`, into one; measured SLOWER than
+    two calls on v5e at batch 2, so the trainer does not use it — ROUND4.md)."""
     bk = cfg.blur_kernel
     x = x.astype(dtype)
 
@@ -86,7 +92,10 @@ def discriminator_apply(cfg: DiscriminatorConfig, params, x, *, dtype=jnp.float3
         feats.append(f2)
 
     batch = out.shape[0]
-    out = minibatch_stddev(out, stddev_group=cfg.stddev_group, stddev_feat=cfg.stddev_feat)
+    out = minibatch_stddev(
+        out, stddev_group=cfg.stddev_group, stddev_feat=cfg.stddev_feat,
+        splits=stddev_splits,
+    )
     out = conv_layer_apply(params["final_conv"], out, blur_kernel=bk)
     feats.append(out)
 

@@ -138,6 +138,39 @@ def test_discriminator_shapes_and_count():
     assert np.isfinite(np.asarray(score)).all()
 
 
+def test_discriminator_batched_halves_parity():
+    """One D forward over concat([real, fake]) with stddev_splits=2 must match
+    two separate forwards, scores AND parameter grads (the invariant behind
+    the batched-D formulation measured-and-rejected in ROUND4.md)."""
+    cfg = DiscriminatorConfig(size=32)
+    params = discriminator_init(jax.random.key(0), cfg)
+    a = jax.random.normal(jax.random.key(1), (3, 3, 32, 32))
+    b = jax.random.normal(jax.random.key(2), (3, 3, 32, 32))
+
+    s_a, _ = discriminator_apply(cfg, params, a)
+    s_b, _ = discriminator_apply(cfg, params, b)
+    s_both, _ = discriminator_apply(
+        cfg, params, jnp.concatenate([a, b], axis=0), stddev_splits=2
+    )
+    want = np.concatenate([np.asarray(s_a), np.asarray(s_b)], axis=0)
+    np.testing.assert_allclose(np.asarray(s_both), want, rtol=2e-5, atol=2e-5)
+
+    # gradient parity: d/dparams of the summed logistic loss must also match
+    def loss_batched(dp):
+        s, _ = discriminator_apply(cfg, dp, jnp.concatenate([a, b], axis=0), stddev_splits=2)
+        return jnp.mean(jax.nn.softplus(s[:3])) + jnp.mean(jax.nn.softplus(-s[3:]))
+
+    def loss_separate(dp):
+        sa, _ = discriminator_apply(cfg, dp, a)
+        sb, _ = discriminator_apply(cfg, dp, b)
+        return jnp.mean(jax.nn.softplus(sa)) + jnp.mean(jax.nn.softplus(-sb))
+
+    g1 = jax.grad(loss_batched)(params)
+    g2 = jax.grad(loss_separate)(params)
+    for l1, l2 in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=5e-5, atol=5e-5)
+
+
 def test_end_to_end_grad_flow():
     gcfg = GeneratorConfig(size=32)
     dcfg = DiscriminatorConfig(size=32)

@@ -140,6 +140,27 @@ def test_minibatch_stddev_matches_torch_formula():
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5, atol=1e-5)
 
 
+def test_minibatch_stddev_splits_equals_separate_calls():
+    """splits=s on concat([a, b]) must equal concat of standalone calls:
+    stddev groups never mix the halves.  (The batched real+fake D forward
+    built on this was measured SLOWER than two calls on v5e — ROUND4.md —
+    so the trainer keeps two calls; the invariant stays guarded here.)"""
+    for batch, splits, group in [(8, 2, 25), (12, 2, 3), (12, 3, 4)]:
+        x = _rand((batch, 8, 5, 5), seed=batch + splits)
+        got = minibatch_stddev(jnp.asarray(x), stddev_group=group, splits=splits)
+        b = batch // splits
+        want = np.concatenate(
+            [
+                np.asarray(
+                    minibatch_stddev(jnp.asarray(x[i * b : (i + 1) * b]), stddev_group=group)
+                )
+                for i in range(splits)
+            ],
+            axis=0,
+        )
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)
+
+
 def test_conv_layer_downsample_shape():
     x = jnp.asarray(_rand((2, 4, 16, 16)))
     params = {"weight": jnp.asarray(_rand((8, 4, 3, 3), 1)), "act_bias": jnp.zeros((8,))}
