@@ -318,6 +318,27 @@ def e2e():
         raise RuntimeError(f"train run failed rc={proc.returncode}, see /tmp/rick_e2e_train.log")
 
     if killed_at is not None:
+        # SIGKILLing a process with a large device->host fetch in flight can
+        # wedge the remote tunnel worker for minutes (the dead client's grant
+        # is held until lease expiry -- ROUND4.md).  Wait for the backend to
+        # answer a trivial op before starting the resumed run, else it hangs
+        # silently on its first device op.
+        probe = ("import jax, jax.numpy as jnp; "
+                 "print(float(jnp.sum(jnp.ones((64,64)))))")
+        deadline = time.time() + 45 * 60
+        while True:
+            try:
+                subprocess.run([sys.executable, "-c", probe], check=True,
+                               capture_output=True, timeout=90)
+                break
+            except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+                if time.time() > deadline:
+                    raise RuntimeError(
+                        "TPU backend still unresponsive 45 min after the "
+                        "SIGKILL; tunnel wedged -- see ROUND4.md"
+                    )
+                print("post-kill backend probe failed; retrying in 60 s", flush=True)
+                time.sleep(60)
         # resume (auto_resume picks the newest landed .state.npz)
         proc = subprocess.Popen(cmd, stdout=log, stderr=subprocess.STDOUT)
         rc = proc.wait()
