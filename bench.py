@@ -83,16 +83,14 @@ def main(size: int = 256, part: str = "all"):
     if part in ("all", "train"):
         m = None
         for i in (16, 17, 18):
-            rng, k = jax.random.split(rng)
-            state, m = run_iteration(phases, state, real, k, i, tcfg)
+            state, m = run_iteration(phases, state, real, rng, i, tcfg)
         float(m["d"])
 
         # phase-mix measurement over two full 16-iter cycles
         t0 = time.time()
         NMEAS = 32
         for i in range(NMEAS):
-            rng, k = jax.random.split(rng)
-            state, m = run_iteration(phases, state, real, k, i + 16, tcfg)
+            state, m = run_iteration(phases, state, real, rng, i + 16, tcfg)
         float(m["d"])
         iter_s = (time.time() - t0) / NMEAS
 

@@ -531,7 +531,9 @@ def main(argv=None):
 
         # Fisher round (`:213-393`)
         if i >= args.warmup_iter and (i - args.warmup_iter) % args.fisher_freq == 0:
-            rng, kf = jax.random.split(rng)
+            # random-access fisher key (tag 3 is reserved; run_iteration's
+            # phases use tags 0-2), identical on resume vs continuous runs
+            kf = jax.random.fold_in(jax.random.fold_in(rng, i), 3)
             # one real batch per noise file, rows paired index-for-index
             # (`:228-237`); stays on device -- no D2H round trip
             reals = jnp.concatenate([next(train_loader)[:r] for r in fisher_rows])
@@ -551,8 +553,9 @@ def main(argv=None):
                 state["d_prune"] = merge_prune(state["d_prune"], dp)
 
         real = next(train_loader)
-        rng, kstep = jax.random.split(rng)
-        state, metrics = run_iteration(phases, state, real, kstep, i, tcfg)
+        # run-base key: per-(iteration, phase) keys fold_in-derive INSIDE the
+        # phase jits (steps._phase_key) -- no per-iter host split dispatch
+        state, metrics = run_iteration(phases, state, real, rng, i, tcfg)
 
         if i % log_every == 0 and is_main:
             # ONE host sync for the whole metrics dict (high-latency link)

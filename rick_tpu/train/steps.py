@@ -1,10 +1,13 @@
 """The jitted training iteration, split into independently-compiled phases.
 
 Phases (each a donated jit): D step (+ADA adaptation), lazy R1 step, G step,
-lazy path-length step, EMA.  Splitting keeps compile times manageable and lets
+lazy path-length step.  Splitting keeps compile times manageable and lets
 every iteration reuse the same compiled D/G phases regardless of which lazy
 regularizers fire (`d_reg_every=16`, `g_reg_every=4`).  Mirrors the iteration
-body `train_dynamic_update_prune.py:395-698`.
+body `train_dynamic_update_prune.py:395-698`.  The EMA (`accumulate()` in the
+reference) is folded into the last phase of each iteration (g or path) —
+identical math, one fewer dispatch; a standalone `ema` jit is still exported
+for callers that manage phases manually.
 
 Warmup (`:201-211,518-519,563-564`) is a *traced* flag: D updates gate to the
 `final*` leaves and G updates gate off entirely, with per-leaf Adam counts
@@ -34,6 +37,16 @@ from rick_tpu.train.masks import (
     prune_d_params,
     prune_g_params,
 )
+
+
+def _phase_key(key, step, tag: int):
+    """Random-access per-(iteration, phase) key: fold the traced step and a
+    static phase tag into the run-base key INSIDE the jit.  Replaces the old
+    host-side `jax.random.split` chain — zero extra dispatches on this
+    high-dispatch-cost backend, and a resumed run at iter N sees exactly the
+    stream a continuous run would (the split chain restarted from the seed on
+    resume)."""
+    return jax.random.fold_in(jax.random.fold_in(key, step), tag)
 
 
 def _sample_latent(gcfg, tcfg, g_params, key, batch):
@@ -88,8 +101,8 @@ def make_train_step(gcfg, dcfg, tcfg):
     # (R1, path) plus ADA stay f32 for numerical fidelity.
     cdt = jnp.bfloat16 if getattr(tcfg, "bf16", False) else jnp.float32
 
-    def d_phase(state, real_img, key, warmup):
-        keys = jax.random.split(key, 4)
+    def d_phase(state, real_img, key, step, warmup):
+        keys = jax.random.split(_phase_key(key, step, 0), 4)
         batch = real_img.shape[0]
         metrics: Dict[str, jnp.ndarray] = {}
 
@@ -169,8 +182,8 @@ def make_train_step(gcfg, dcfg, tcfg):
         d_params = prune_d_params(d_params, state["d_prune"])
         return {**state, "d": d_params, "d_opt": d_opt}, r1_val
 
-    def g_phase(state, key, warmup):
-        keys = jax.random.split(key, 3)
+    def g_phase(state, key, step, warmup, do_ema):
+        keys = jax.random.split(_phase_key(key, step, 1), 3)
         ada_p = state["ada_p"]
 
         def g_loss_fn(gp):
@@ -189,14 +202,34 @@ def make_train_step(gcfg, dcfg, tcfg):
             lr=tcfg.g_lr, beta2=tcfg.g_beta2,
         )
         g_params = prune_g_params(g_params, state["g_prune"])
-        return {**state, "g": g_params, "g_opt": g_opt}, g_loss
 
-    def path_phase(state, key, warmup):
+        # EMA folded into this phase: on this 1-core tunneled host every extra
+        # jit dispatch costs a ~2-3 ms fixed floor (scripts/bench_phase_split
+        # null row), so the iteration-final EMA lerp rides here whenever no
+        # path phase will run after us (do_ema).  On path iterations the lerp
+        # is deferred to path_phase so it sees the post-path params — the
+        # where() keeps the applied expression bit-identical to the old
+        # standalone ema_phase.
+        accum = tcfg.ema_accum
+        g_ema = jax.tree.map(
+            lambda e, p: jnp.where(do_ema, accum * e + (1.0 - accum) * p, e),
+            state["g_ema"], g_params,
+        )
+        d_ema = jax.tree.map(
+            lambda e, p: jnp.where(do_ema, accum * e + (1.0 - accum) * p, e),
+            state["d_ema"], state["d"],
+        )
+        new_state = {
+            **state, "g": g_params, "g_opt": g_opt, "g_ema": g_ema, "d_ema": d_ema,
+        }
+        return new_state, g_loss
+
+    def path_phase(state, key, step, warmup):
         # grad-of-grad through the generator: Pallas custom_vjp kernels do not
         # support double backward, so trace the XLA epilogue here
         from rick_tpu.nn.blocks import no_pallas_epilogue
 
-        keys = jax.random.split(key, 3)
+        keys = jax.random.split(_phase_key(key, step, 2), 3)
         path_batch = max(1, tcfg.batch // tcfg.path_batch_shrink)
         mpl = state["mean_path_length"]
 
@@ -226,10 +259,22 @@ def make_train_step(gcfg, dcfg, tcfg):
             lr=tcfg.g_lr, beta2=tcfg.g_beta2,
         )
         g_params = prune_g_params(g_params, state["g_prune"])
+
+        # iteration-final EMA (deferred from g_phase on path iterations so it
+        # sees the post-path G params; same expression as the old ema_phase)
+        accum = tcfg.ema_accum
+        g_ema = jax.tree.map(
+            lambda e, p: accum * e + (1.0 - accum) * p, state["g_ema"], g_params
+        )
+        d_ema = jax.tree.map(
+            lambda e, p: accum * e + (1.0 - accum) * p, state["d_ema"], state["d"]
+        )
         new_state = {
             **state,
             "g": g_params,
             "g_opt": g_opt,
+            "g_ema": g_ema,
+            "d_ema": d_ema,
             "mean_path_length": new_mpl,
         }
         return new_state, path_val, jnp.mean(lengths)
@@ -251,34 +296,56 @@ def make_train_step(gcfg, dcfg, tcfg):
     }
 
 
+_SCALAR_CACHE: Dict[tuple, jnp.ndarray] = {}
+
+
+def _cached_scalar(name, value, dtype):
+    """Per-iteration scalar device constants (warmup flag, metric zeros)
+    created ONCE: every jnp.asarray/jnp.zeros at the call site is a real
+    device op on this high-dispatch-cost backend."""
+    k = (name, bool(value) if dtype == jnp.bool_ else value)
+    out = _SCALAR_CACHE.get(k)
+    if out is None or getattr(out, "is_deleted", lambda: False)():
+        out = _SCALAR_CACHE[k] = jnp.asarray(value, dtype)
+    return out
+
+
 def run_iteration(phases, state, real_img, key, i: int, tcfg):
-    """Host-side composition of one reference iteration (`:395-698`)."""
-    k_d, k_g, k_p = jax.random.split(key, 3)
-    warmup = jnp.asarray(i < tcfg.warmup_iter)
+    """Host-side composition of one reference iteration (`:395-698`).
 
-    state, metrics, real_aug = phases["d"](state, real_img, k_d, warmup)
+    Dispatch-count discipline (each extra host dispatch costs a measured
+    ~2-3 ms on this backend — scripts/bench_phase_split null row):
+    per-phase keys are derived by fold_in INSIDE the phase jits from the
+    run-base `key` and the traced step, the iteration-final EMA rides inside
+    whichever phase runs last (g or path; same math as the reference's
+    standalone `accumulate()`), and scalar flags/zeros are cached device
+    constants."""
+    warmup = _cached_scalar("b", i < tcfg.warmup_iter, jnp.bool_)
+    zero = _cached_scalar("zero", 0.0, jnp.float32)
 
-    metrics["r1"] = jnp.zeros((), jnp.float32)
+    state, metrics, real_aug = phases["d"](state, real_img, key, i, warmup)
+
+    metrics["r1"] = zero
     if i % tcfg.d_reg_every == 0:
         state, r1_val = phases["r1"](state, real_aug, warmup)
         metrics["r1"] = r1_val
 
-    state, g_loss = phases["g"](state, k_g, warmup)
-    metrics["g"] = g_loss
-
-    metrics["path"] = jnp.zeros((), jnp.float32)
-    metrics["path_length"] = jnp.zeros((), jnp.float32)
     # The reference gates the whole path phase on `g_regularize and
     # i >= args.warmup_iter` (`:546`): during warmup neither params NOR the
     # mean_path_length EMA advance, so skip the phase entirely.
-    if i % tcfg.g_reg_every == 0 and i >= tcfg.warmup_iter:
-        state, path_val, path_len = phases["path"](state, k_p, warmup)
+    path_fires = i % tcfg.g_reg_every == 0 and i >= tcfg.warmup_iter
+
+    do_ema = _cached_scalar("b", not path_fires, jnp.bool_)
+    state, g_loss = phases["g"](state, key, i, warmup, do_ema)
+    metrics["g"] = g_loss
+
+    metrics["path"] = zero
+    metrics["path_length"] = zero
+    if path_fires:
+        state, path_val, path_len = phases["path"](state, key, i, warmup)
         metrics["path"] = path_val
         metrics["path_length"] = path_len
 
-    state["g_ema"], state["d_ema"] = phases["ema"](
-        state["g_ema"], state["d_ema"], state["g"], state["d"]
-    )
     metrics["mean_path_length"] = state["mean_path_length"]
     return state, metrics
 

@@ -275,6 +275,47 @@ def test_short_training_run_with_fisher():
     )
 
 
+def test_ema_fold_matches_standalone_lerp():
+    """The EMA is folded into the last phase of each iteration (g or path,
+    steps.py round-4 fold).  After every run_iteration the EMA state must be
+    bit-identical to the reference's standalone `accumulate()`:
+    e' = accum*e + (1-accum)*p with the POST-iteration params — including on
+    path iterations, where the fold defers the lerp past the path update."""
+    gcfg = GeneratorConfig(size=16)
+    dcfg = DiscriminatorConfig(size=16)
+    tcfg = TrainConfig(batch=2, augment=False, warmup_iter=0, g_reg_every=2)
+    state = init_train_state(jax.random.key(0), gcfg, dcfg, tcfg)
+    phases = make_train_step(gcfg, dcfg, tcfg)
+    accum = tcfg.ema_accum
+    rng = jax.random.key(1)
+
+    for i in range(4):  # i=0,2 fire the path phase; i=1,3 do not
+        before_g_ema = jax.tree.map(lambda x: np.asarray(x), state["g_ema"])
+        before_d_ema = jax.tree.map(lambda x: np.asarray(x), state["d_ema"])
+        rng, k1, k2 = jax.random.split(rng, 3)
+        real = jax.random.normal(k1, (2, 3, 16, 16))
+        state, _ = run_iteration(phases, state, real, k2, i, tcfg)
+        expect_g = jax.tree.map(
+            lambda e, p: np.float32(accum) * e + np.float32(1.0 - accum) * np.asarray(p),
+            before_g_ema, state["g"],
+        )
+        expect_d = jax.tree.map(
+            lambda e, p: np.float32(accum) * e + np.float32(1.0 - accum) * np.asarray(p),
+            before_d_ema, state["d"],
+        )
+        for got, want in (
+            (state["g_ema"], expect_g),
+            (state["d_ema"], expect_d),
+        ):
+            flat_got = jax.tree.leaves(got)
+            flat_want = jax.tree.leaves(want)
+            for a, b in zip(flat_got, flat_want):
+                # 1-2 ulp: XLA contracts the lerp into an FMA, numpy doesn't
+                np.testing.assert_allclose(
+                    np.asarray(a), b, rtol=5e-7, atol=1e-6, err_msg=f"iter {i}"
+                )
+
+
 def test_path_phase_skipped_during_warmup():
     """Reference gates the WHOLE path phase on `g_regularize and
     i >= args.warmup_iter` (train_dynamic_update_prune.py:546): during warmup
