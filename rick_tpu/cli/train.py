@@ -544,6 +544,9 @@ def main(argv=None):
                 fisher_quantile=args.fisher_quantile,
                 prune_quantile=args.prune_quantile,
                 denom=float(args.num_fisher_img * args.batch),
+                # multi-device: shard the per-image FIM samples over the data
+                # axis, psum the partial sums (single device: replicated path)
+                mesh=mesh if mesh.devices.size > 1 else None,
             )
             state["g_freeze"], state["d_freeze"] = gf, df
             if i == args.warmup_iter:

@@ -21,7 +21,10 @@ from rick_tpu.train.losses import d_logistic_loss, g_nonsaturating_loss
 
 def _single_image_fims(gcfg, dcfg, g_ema, d_ema, z, real, rng):
     """Squared grads of per-single-image G and D losses wrt the EMA params
-    (`:230-248`).  z: (1, 512); real: (1, 3, H, W)."""
+    (`:230-248`).  z: (1, 512); real: (1, 3, H, W).  rng=None selects the
+    registered constant noise buffers (the reference's randomize_noise=False
+    path) -- used by the reference-parity test to pin the injection noise on
+    both sides."""
 
     def g_loss_fn(gp):
         fake, _ = generator_apply(gcfg, gp, [z], rng=rng)
@@ -43,20 +46,30 @@ def _single_image_fims(gcfg, dcfg, g_ema, d_ema, z, real, rng):
 _ACCUM_CACHE = {}
 
 
-def _get_accum_fn(gcfg, dcfg, n: int, denom: float):
-    """One compiled function per (configs, n): vmap of the per-image squared
-    grads over the n fisher latents, summed and averaged on device."""
-    key = (gcfg, dcfg, n, denom)
+def _get_accum_fn(gcfg, dcfg, n: int, denom: float, const_noise: bool = False, mesh=None):
+    """One compiled function per (configs, n): scan of the per-image squared
+    grads over the n fisher latents, summed and averaged on device.
+    const_noise=True pins injection noise to the registered buffers
+    (reference randomize_noise=False; parity testing).
+
+    mesh: an optional jax Mesh with a 'data' axis.  The reference's fisher
+    loop is a host-side python loop over images on ONE process (`:230-248`);
+    the TPU-native multi-chip formulation shards the IMAGES over the mesh --
+    each device scans its n/n_dev rows and the partial FIM sums are psum'd.
+    Same math (sum of per-image squared grads is reduction-order-invariant up
+    to f32 rounding), n_dev-times less sequential work per device."""
+    key = (gcfg, dcfg, n, denom, const_noise, mesh)
     if key not in _ACCUM_CACHE:
 
-        def accum(g_ema, d_ema, noises, reals, keys):
+        def summed(g_ema, d_ema, noises, reals, keys):
             # sequential scan of batch-1 grads: each step costs one ordinary
             # backward pass (a vmapped formulation lowers to pathologically
             # slow batched conv-grads on TPU)
             def body(carry, inp):
                 z, real, k = inp
                 sg, sd = _single_image_fims(
-                    gcfg, dcfg, g_ema, d_ema, z[None], real[None], k
+                    gcfg, dcfg, g_ema, d_ema, z[None], real[None],
+                    None if const_noise else k,
                 )
                 cg, cd = carry
                 return (
@@ -67,16 +80,51 @@ def _get_accum_fn(gcfg, dcfg, n: int, denom: float):
             zero_g = jax.tree.map(jnp.zeros_like, g_ema)
             zero_d = jax.tree.map(jnp.zeros_like, d_ema)
             (sum_g, sum_d), _ = jax.lax.scan(body, (zero_g, zero_d), (noises, reals, keys))
-            fim_g = jax.tree.map(lambda x: x / denom, sum_g)
-            fim_d = jax.tree.map(lambda x: x / denom, sum_d)
-            return fim_g, fim_d
+            return sum_g, sum_d
 
-        _ACCUM_CACHE[key] = jax.jit(accum)
+        def _avg(sums):
+            return jax.tree.map(lambda x: x / denom, sums)
+
+        if mesh is None:
+
+            def accum(g_ema, d_ema, noises, reals, keys):
+                sum_g, sum_d = summed(g_ema, d_ema, noises, reals, keys)
+                return _avg(sum_g), _avg(sum_d)
+
+            _ACCUM_CACHE[key] = jax.jit(accum)
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            def local_accum(g_ema, d_ema, noises, reals, keys):
+                # CRITICAL: pcast the replicated params to device-varying
+                # before differentiating.  Under shard_map's vma tracking,
+                # grad wrt an UNVARYING input auto-psums the cotangent --
+                # which here lands BEFORE the squaring, silently turning
+                # sum_i(grad_i^2) into (sum_i grad_i)^2 (caught by
+                # test_fisher_accum_image_sharded_matches_replicated: 4x off
+                # with 2 devices).  Varying params keep grads local; the ONE
+                # explicit psum below is the only cross-device reduction.
+                pc = lambda a: jax.lax.pcast(a, "data", to="varying")
+                g_ema = jax.tree.map(pc, g_ema)
+                d_ema = jax.tree.map(pc, d_ema)
+                sum_g, sum_d = summed(g_ema, d_ema, noises, reals, keys)
+                sum_g = jax.lax.psum(sum_g, "data")
+                sum_d = jax.lax.psum(sum_d, "data")
+                return _avg(sum_g), _avg(sum_d)
+
+            sharded = jax.shard_map(
+                local_accum,
+                mesh=mesh,
+                in_specs=(P(), P(), P("data"), P("data"), P("data")),
+                out_specs=(P(), P()),
+            )
+            _ACCUM_CACHE[key] = jax.jit(sharded)
     return _ACCUM_CACHE[key]
 
 
 def accumulate_fims(
-    gcfg, dcfg, g_ema, d_ema, noises, reals, rng, *, batch: int, denom: float | None = None
+    gcfg, dcfg, g_ema, d_ema, noises, reals, rng, *, batch: int,
+    denom: float | None = None, const_noise: bool = False, mesh=None,
 ):
     """Average FIM over the fisher latents (`:225-269`) in ONE compiled call.
 
@@ -93,7 +141,9 @@ def accumulate_fims(
     keys = jax.random.split(rng, n)
     if denom is None:
         denom = float(n * batch)
-    fn = _get_accum_fn(gcfg, dcfg, n, float(denom))
+    if mesh is not None and (mesh.devices.size <= 1 or n % mesh.devices.size != 0):
+        mesh = None  # image-sharding needs divisibility; fall back to replicated
+    fn = _get_accum_fn(gcfg, dcfg, n, float(denom), const_noise, mesh)
     return fn(g_ema, d_ema, noises, reals, keys)
 
 
@@ -189,14 +239,18 @@ def fisher_round(
     fisher_quantile: float,
     prune_quantile: float,
     denom: float | None = None,
+    mesh=None,
 ) -> Tuple:
     """Full Fisher round (`:213-393`): FIM accumulation + mask decisions.
 
     Returns (g_freeze, g_prune, d_freeze, d_prune); the caller merges the
-    prune masks monotonically (`masks.merge_prune`).
+    prune masks monotonically (`masks.merge_prune`).  On a multi-device
+    `mesh`, the per-image FIM samples are sharded over the 'data' axis and
+    the partial sums psum'd (see `_get_accum_fn`).
     """
     fim_g, fim_d = accumulate_fims(
-        gcfg, dcfg, g_ema, d_ema, noises, reals, rng, batch=batch, denom=denom
+        gcfg, dcfg, g_ema, d_ema, noises, reals, rng, batch=batch, denom=denom,
+        mesh=mesh,
     )
     return masks_from_fims(
         fim_g, fim_d, fisher_quantile=fisher_quantile, prune_quantile=prune_quantile

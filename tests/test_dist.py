@@ -233,3 +233,54 @@ def test_fisher_round_on_mesh():
     for a, b in zip(jax.tree.leaves((gf1, gp1, df1, dp1)),
                     jax.tree.leaves((gf8, gp8, df8, dp8))):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fisher_accum_image_sharded_matches_replicated():
+    """Round-5 mesh path of `accumulate_fims`: the per-image FIM samples are
+    sharded over the data axis and partial sums psum'd (shard_map) -- the
+    multi-chip formulation of the reference's sequential per-image loop
+    (`train_dynamic_update_prune.py:230-248`).  Must equal the replicated
+    scan up to f32 summation order, and the resulting masks must agree."""
+    from rick_tpu.train import fisher_round
+    from rick_tpu.train.fisher import accumulate_fims
+
+    gcfg = GeneratorConfig(size=16)
+    dcfg = DiscriminatorConfig(size=16)
+    tcfg = TrainConfig(batch=8, warmup_iter=0)
+    state = init_train_state(jax.random.key(0), gcfg, dcfg, tcfg)
+    noises = jax.random.normal(jax.random.key(1), (8, 512))
+    reals = jax.random.normal(jax.random.key(2), (8, 3, 16, 16))
+
+    fim_g1, fim_d1 = accumulate_fims(
+        gcfg, dcfg, state["g_ema"], state["d_ema"], noises, reals,
+        jax.random.key(3), batch=8, denom=8.0,
+    )
+
+    mesh = make_mesh(8)
+    g_ema = replicate(mesh, state["g_ema"])
+    d_ema = replicate(mesh, state["d_ema"])
+    fim_g8, fim_d8 = accumulate_fims(
+        gcfg, dcfg, g_ema, d_ema, shard_batch(mesh, noises),
+        shard_batch(mesh, reals), jax.random.key(3), batch=8, denom=8.0,
+        mesh=mesh,
+    )
+    # FIMs are squared f32 grads; the partitioned grad kernels reassociate
+    # differently than the single-program ones (isolated elements up to
+    # ~0.7% rel observed).  The bug class this guards against (grad-of-
+    # unvarying auto-psum landing before the squaring) is O(n_dev) off on
+    # EVERY element -- far outside this band.
+    for a, b in zip(jax.tree.leaves((fim_g1, fim_d1)),
+                    jax.tree.leaves((fim_g8, fim_d8))):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-2, atol=5e-9
+        )
+
+    # end-to-end: the sharded fisher_round produces valid 0/1 masks
+    gf, gp, df, dp = fisher_round(
+        gcfg, dcfg, g_ema, d_ema, shard_batch(mesh, noises),
+        shard_batch(mesh, reals), jax.random.key(3),
+        batch=8, fisher_quantile=50.0, prune_quantile=0.1, denom=8.0, mesh=mesh,
+    )
+    for leaf in jax.tree.leaves((gf, gp, df, dp)):
+        v = np.asarray(leaf)
+        assert np.all((v == 0.0) | (v == 1.0))
