@@ -78,7 +78,13 @@ class Evaluator:
         seed: int = 0,
         mesh=None,
         fast_gen: Optional[bool] = None,
+        inception_stop_at: Optional[str] = None,
+        inception_resize_to: int = 299,
     ):
+        # inception_stop_at / inception_resize_to shrink the InceptionV3
+        # trunk's compile+execution budget for the multi-chip DRYRUN ONLY
+        # (reduced depth / input size, same structure -- see
+        # inception_pool3).  Metric-bearing evals always use the defaults.
         self.gcfg = gcfg
         # fused Pallas upsample kernel for generation (forward-only; see
         # ops/fused_upsample.py).  Auto: on for TPU, off elsewhere (interpret
@@ -154,6 +160,8 @@ class Evaluator:
 
         inc_dtype = inception_dtype
         inc_nhwc = self._inc_nhwc
+        inc_stop_at = inception_stop_at
+        inc_resize_to = inception_resize_to
 
         def gen_chunk_acts(gp, incp, k):
             kz, kn = jax.random.split(k)
@@ -163,7 +171,9 @@ class Evaluator:
             imgs = imgs.astype(inc_dtype)
             if inc_dtype != jnp.float32:
                 incp = jax.tree.map(lambda a: a.astype(inc_dtype), incp)
-            return inception_pool3(incp, imgs, nhwc=inc_nhwc).astype(jnp.float32)
+            return inception_pool3(
+                incp, imgs, nhwc=inc_nhwc, stop_at=inc_stop_at, resize_to=inc_resize_to
+            ).astype(jnp.float32)
 
         def chunk_scan(gp, incp, keys):
             def body(_, k):

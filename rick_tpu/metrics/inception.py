@@ -141,6 +141,28 @@ def inception_init(key=None, seed: int = 0) -> Dict[str, jnp.ndarray]:
     return params
 
 
+def inception_init_np(seed: int = 0) -> Dict[str, np.ndarray]:
+    """Host-side (numpy) variant of `inception_init`: same keys/shapes, no
+    device compiles.  For compile-budget-sensitive callers (the multi-chip
+    dryrun) where ~100 distinct-shape `jax.random.normal` programs would cost
+    real wall-clock on a cold cache; values are still He-normal."""
+    rng = np.random.default_rng(seed)
+    params: Dict[str, np.ndarray] = {
+        "fc.weight": (rng.standard_normal((1000, 2048)) * 0.02).astype(np.float32),
+        "fc.bias": np.zeros((1000,), np.float32),
+    }
+    for name, i, o, k, s, p in _CONVS:
+        fan_in = i * k[0] * k[1]
+        params[f"{name}.conv.weight"] = (
+            rng.standard_normal((o, i, k[0], k[1])) * np.sqrt(2.0 / fan_in)
+        ).astype(np.float32)
+        params[f"{name}.bn.weight"] = np.ones((o,), np.float32)
+        params[f"{name}.bn.bias"] = np.zeros((o,), np.float32)
+        params[f"{name}.bn.running_mean"] = np.zeros((o,), np.float32)
+        params[f"{name}.bn.running_var"] = np.ones((o,), np.float32)
+    return params
+
+
 def load_inception_params(path: str) -> Dict[str, jnp.ndarray]:
     """Load a torchvision inception_v3 state dict (.pth) into the flat param
     dict (AuxLogits / fc entries are ignored)."""
@@ -279,7 +301,8 @@ def _block_e(params, prefix, x, nhwc=False):
 
 
 def inception_pool3(
-    params, x, *, resize_input: bool = True, normalize_input: bool = True, nhwc: bool = False
+    params, x, *, resize_input: bool = True, normalize_input: bool = True, nhwc: bool = False,
+    stop_at: str = None, resize_to: int = 299,
 ):
     """pool3 (2048-d) activations for images x in [-1, 1], NCHW.
 
@@ -291,6 +314,13 @@ def inception_pool3(
     stays NCHW at the API -- one transpose up front).  Requires params
     pre-transposed with `params_to_nhwc`.  Values match NCHW up to fp
     reassociation (tested).
+
+    stop_at / resize_to are COMPILE/EXECUTION-BUDGET levers for the
+    multi-chip DRYRUN only (never metric paths): `stop_at="Mixed_6a"` pools
+    right after the named block (same structure, reduced depth -- e.g. 768-d
+    instead of 2048-d), and `resize_to` shrinks the input resize target
+    (minimum useful ~75: three stride-2 stages need spatial room).  Real
+    FID/KID always use the full trunk at 299.
     """
     from rick_tpu.metrics.resize import bilinear_resize_torch
 
@@ -299,9 +329,9 @@ def inception_pool3(
         if resize_input:
             # exact F.upsample(bilinear, align_corners=False) semantics -- NO
             # antialias, so 512/1024px downscales match the reference too
-            x = bilinear_resize_torch(x, 299, 299, nhwc=True)
+            x = bilinear_resize_torch(x, resize_to, resize_to, nhwc=True)
     elif resize_input:
-        x = bilinear_resize_torch(x, 299, 299)
+        x = bilinear_resize_torch(x, resize_to, resize_to)
     if normalize_input:
         scale = jnp.asarray([0.229 / 0.5, 0.224 / 0.5, 0.225 / 0.5], x.dtype)
         shift = jnp.asarray(
@@ -310,24 +340,28 @@ def inception_pool3(
         cshape = (1, 1, 1, 3) if nhwc else (1, 3, 1, 1)
         x = x * scale.reshape(cshape) + shift.reshape(cshape)
 
-    x = _conv_bn(params, "Conv2d_1a_3x3", x, nhwc)
-    x = _conv_bn(params, "Conv2d_2a_3x3", x, nhwc)
-    x = _conv_bn(params, "Conv2d_2b_3x3", x, nhwc)
-    x = _maxpool(x, nhwc=nhwc)
-    x = _conv_bn(params, "Conv2d_3b_1x1", x, nhwc)
-    x = _conv_bn(params, "Conv2d_4a_3x3", x, nhwc)
-    x = _maxpool(x, nhwc=nhwc)
-    x = _block_a(params, "Mixed_5b", x, nhwc)
-    x = _block_a(params, "Mixed_5c", x, nhwc)
-    x = _block_a(params, "Mixed_5d", x, nhwc)
-    x = _block_b(params, "Mixed_6a", x, nhwc)
-    x = _block_c(params, "Mixed_6b", x, nhwc)
-    x = _block_c(params, "Mixed_6c", x, nhwc)
-    x = _block_c(params, "Mixed_6d", x, nhwc)
-    x = _block_c(params, "Mixed_6e", x, nhwc)
-    x = _block_d(params, "Mixed_7a", x, nhwc)
-    x = _block_e(params, "Mixed_7b", x, nhwc)
-    x = _block_e(params, "Mixed_7c", x, nhwc)
+    stages = [
+        ("Conv2d_1a_3x3", lambda x: _conv_bn(params, "Conv2d_1a_3x3", x, nhwc)),
+        ("Conv2d_2a_3x3", lambda x: _conv_bn(params, "Conv2d_2a_3x3", x, nhwc)),
+        ("Conv2d_2b_3x3", lambda x: _maxpool(_conv_bn(params, "Conv2d_2b_3x3", x, nhwc), nhwc=nhwc)),
+        ("Conv2d_3b_1x1", lambda x: _conv_bn(params, "Conv2d_3b_1x1", x, nhwc)),
+        ("Conv2d_4a_3x3", lambda x: _maxpool(_conv_bn(params, "Conv2d_4a_3x3", x, nhwc), nhwc=nhwc)),
+        ("Mixed_5b", lambda x: _block_a(params, "Mixed_5b", x, nhwc)),
+        ("Mixed_5c", lambda x: _block_a(params, "Mixed_5c", x, nhwc)),
+        ("Mixed_5d", lambda x: _block_a(params, "Mixed_5d", x, nhwc)),
+        ("Mixed_6a", lambda x: _block_b(params, "Mixed_6a", x, nhwc)),
+        ("Mixed_6b", lambda x: _block_c(params, "Mixed_6b", x, nhwc)),
+        ("Mixed_6c", lambda x: _block_c(params, "Mixed_6c", x, nhwc)),
+        ("Mixed_6d", lambda x: _block_c(params, "Mixed_6d", x, nhwc)),
+        ("Mixed_6e", lambda x: _block_c(params, "Mixed_6e", x, nhwc)),
+        ("Mixed_7a", lambda x: _block_d(params, "Mixed_7a", x, nhwc)),
+        ("Mixed_7b", lambda x: _block_e(params, "Mixed_7b", x, nhwc)),
+        ("Mixed_7c", lambda x: _block_e(params, "Mixed_7c", x, nhwc)),
+    ]
+    for name, fn in stages:
+        x = fn(x)
+        if stop_at is not None and name == stop_at:
+            break
     return jnp.mean(x, axis=(1, 2) if nhwc else (2, 3))  # avg pool -> (N, 2048)
 
 
