@@ -90,7 +90,9 @@ def main(size: int = 256, part: str = "all"):
         t0 = time.time()
         NMEAS = 32
         for i in range(NMEAS):
-            state, m = run_iteration(phases, state, real, rng, i + 16, tcfg)
+            # start past the warmup's (key, step) pairs (16..18) so every
+            # measured iteration draws a fresh RNG stream
+            state, m = run_iteration(phases, state, real, rng, i + 19, tcfg)
         float(m["d"])
         iter_s = (time.time() - t0) / NMEAS
 
@@ -183,6 +185,95 @@ def main(size: int = 256, part: str = "all"):
                     round(15.0 / projected_min, 3) if projected_min == projected_min else None
                 ),
                 "detail": detail,
+            }
+        )
+    )
+
+
+def metrics_main(size: int = 256):
+    """`bench.py --metrics`: dispatch KID, precision/recall and intra-LPIPS
+    ONCE each on the real chip and report timings (VERDICT r4 #4).
+
+    These paths are CPU-unit-tested but, until round 5, had never executed on
+    this backend -- and "unit-tested but never dispatched here" is a known
+    risk class (the 1024px eval crash was found exactly this way).  Sample
+    counts are sized to bound tunnel-duration/transfer hazards (KID protocol
+    cap is 2000 fakes; P&R here runs at 1000 samples vs the reference's 5000;
+    intra-LPIPS at 200 generated samples vs the reference's 1000 -- the code
+    path is identical, only the loop trip counts differ)."""
+    import os
+    import shutil
+
+    import jax
+
+    if not os.environ.get("RICK_NO_XLA_CACHE"):
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get(
+                "RICK_XLA_CACHE_DIR", os.path.expanduser("~/.cache/rick_tpu_xla")
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from rick_tpu.metrics import Evaluator
+    from rick_tpu.metrics.inception import inception_init
+    from rick_tpu.metrics.intra_lpips import prepare_cluster_centers
+    from rick_tpu.nn import GeneratorConfig, generator_init
+
+    N = 1000
+    gcfg = GeneratorConfig(size=size)
+    g_ema = generator_init(jax.random.key(0), gcfg)
+    real_small = np.asarray(
+        jax.random.uniform(
+            jax.random.key(9), (128, 3, size, size), minval=-1, maxval=1
+        )
+    )
+
+    evaluator = Evaluator(
+        gcfg,
+        fid_real_samples=real_small,
+        inception_nsamples=N,
+        batch_size=64,
+        inception_params=inception_init(),
+        gen_batch=100,
+        compute_pr=True,
+    )
+    timings = {}
+
+    t0 = time.time()
+    s = evaluator.compute_inception_score(g_ema, fid=True, kid=True)
+    fid, kid = float(s["fid"]), float(s["kid"])  # value fetch = real sync
+    timings[f"fid_kid_{N}_s"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    s = evaluator.compute_inception_score(g_ema, fid=False, pr=True)
+    prec, rec = float(s["precision"]), float(s["recall"])
+    timings[f"pr_{N}_s"] = round(time.time() - t0, 2)
+
+    cdir = "/tmp/rick_metrics_bench_centers"
+    shutil.rmtree(cdir, ignore_errors=True)
+    prepare_cluster_centers(real_small[:10], cdir)
+    t0 = time.time()
+    il = evaluator.compute_intra_lpips(
+        g_ema, cdir, n_samples=200, k=10, size=size
+    )
+    timings["intra_lpips_200_s"] = round(time.time() - t0, 2)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"standalone metric dispatch timings at {size}px (real chip)",
+                "value": timings[f"fid_kid_{N}_s"],
+                "unit": "seconds (fid+kid)",
+                "vs_baseline": None,
+                "detail": {
+                    **timings,
+                    "fid": round(fid, 3),
+                    "kid": round(kid, 5),
+                    "precision": round(prec, 4),
+                    "recall": round(rec, 4),
+                    "intra_lpips": round(il, 4),
+                },
             }
         )
     )
@@ -377,6 +468,11 @@ if __name__ == "__main__":
 
     if "--e2e" in sys.argv:
         e2e()
+    elif "--metrics" in sys.argv:
+        size = 256
+        if "--size" in sys.argv:
+            size = int(sys.argv[sys.argv.index("--size") + 1])
+        metrics_main(size)
     else:
         size = 256
         if "--size" in sys.argv:  # VERDICT r2 #7: 512/1024px datapoints

@@ -303,7 +303,7 @@ def _cached_scalar(name, value, dtype):
     """Per-iteration scalar device constants (warmup flag, metric zeros)
     created ONCE: every jnp.asarray/jnp.zeros at the call site is a real
     device op on this high-dispatch-cost backend."""
-    k = (name, bool(value) if dtype == jnp.bool_ else value)
+    k = (name, jnp.dtype(dtype).name, bool(value) if dtype == jnp.bool_ else value)
     out = _SCALAR_CACHE.get(k)
     if out is None or getattr(out, "is_deleted", lambda: False)():
         out = _SCALAR_CACHE[k] = jnp.asarray(value, dtype)

@@ -73,19 +73,33 @@ def main():
     # MARGIN_AB_BASE lets a time-bounded environment shrink both arms
     # identically (e.g. "--iter 1000"); the A/B stays like-for-like.
     base = os.environ.get("MARGIN_AB_BASE", "").strip()
-    r64 = run("margin64", base)
-    r224 = run("margin224", (base + " --ada_margin 224").strip())
-    print("\nmargin A/B summary (synthetic recipe, seeded metric weights):")
-    print(f"  margin  64: best {r64[0]:.3f}  final {r64[1]:.3f}  wall {r64[2]/60:.1f} min")
-    print(f"  margin 224: best {r224[0]:.3f}  final {r224[1]:.3f}  wall {r224[2]/60:.1f} min")
-    with open(os.path.join(OUT, "summary.json"), "w") as f:
-        json.dump(
-            {
-                "margin64": {"best_fid": r64[0], "final_fid": r64[1], "wall_min": r64[2] / 60},
-                "margin224": {"best_fid": r224[0], "final_fid": r224[1], "wall_min": r224[2] / 60},
-            },
-            f, indent=2,
+    # MARGIN_AB_SEEDS runs the pair at several train seeds (VERDICT r4 #3:
+    # one seed pair is inadequate evidence for a default).  Default seed 1 is
+    # the CLI's own default -- the round-3 pair used it, so extra runs here
+    # add NEW seed pairs to that table.
+    seeds = [s for s in os.environ.get("MARGIN_AB_SEEDS", "").split() if s]
+    if not seeds:
+        seeds = ["1"]
+    summary = {}
+    for seed in seeds:
+        seed_arg = f"--seed {seed}" if seed != "1" else ""
+        tag = f"_s{seed}" if seed != "1" else ""
+        r64 = run(f"margin64{tag}", (base + " " + seed_arg).strip())
+        r224 = run(
+            f"margin224{tag}", (base + " " + seed_arg + " --ada_margin 224").strip()
         )
+        print(f"\nmargin A/B (seed {seed}):")
+        print(f"  margin  64: best {r64[0]:.3f}  final {r64[1]:.3f}  wall {r64[2]/60:.1f} min")
+        print(f"  margin 224: best {r224[0]:.3f}  final {r224[1]:.3f}  wall {r224[2]/60:.1f} min")
+        summary[f"margin64{tag}"] = {
+            "best_fid": r64[0], "final_fid": r64[1], "wall_min": r64[2] / 60,
+        }
+        summary[f"margin224{tag}"] = {
+            "best_fid": r224[0], "final_fid": r224[1], "wall_min": r224[2] / 60,
+        }
+        # write after each pair: a timeout still leaves complete pairs on disk
+        with open(os.path.join(OUT, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=2)
 
 
 if __name__ == "__main__":
