@@ -14,17 +14,19 @@ TPU-native reformulation (static shapes, no retry):
     by M + pad_k (pad_k = 6, the sym6 support); sample coordinates beyond that
     are folded back by coordinate reflection inside the sampler, supplying
     multi-mirrored content instead of the reference's true reflect-pad.
-  * HONESTY NOTE on M (default 64): the reference's dynamic pad for a rotated
-    256px image is ~(sqrt(2)-1)*256 = 106 pixels BEFORE scaling/translation
-    (worst case with the clamped scale tails: ~(sqrt(2)*1.5-1+0.25)*128 = 175).
-    So whenever the pre/post-rotation fires (prob 1-sqrt(1-p) each), border
-    content deviates from the reference's: the sampler reads mirror-folded
-    pixels where the reference read singly-reflected pad.  Exactness holds for
-    every transform whose dynamic pad is <= M -- all flips/90-degree
-    rotations/integer translates and moderate scales, but NOT full rotations
-    at the default margin.  Raise --ada_margin (e.g. size//2 + size//4) for
-    full border parity at ~(size+2M)^2-proportional extra FIR cost; the warp
-    itself is margin-cost-free (grid restricted to the crop-surviving window).
+  * HONESTY NOTE on M (default 224 since round 5): the reference's dynamic
+    pad for a rotated 256px image is ~(sqrt(2)-1)*256 = 106 pixels BEFORE
+    scaling/translation (worst case with the clamped scale tails:
+    ~(sqrt(2)*1.5-1+0.25)*128 = 175), so M=224 covers the rotation worst
+    case at 256px -- full border parity.  Exactness holds for every
+    transform whose dynamic pad is <= M; at SMALLER margins (e.g.
+    --ada_margin 64, the round-1..4 default) full rotations read
+    mirror-folded pixels where the reference read singly-reflected pad.
+    The 64-vs-224 A/B at three seed pairs (ROUND5.md; best FID 6.35/6.15,
+    4.96/4.38, 3.84/3.44, 224 better in all three) motivated the flip.  The
+    FIR pair cost scales ~(size+2M)^2; the warp itself is margin-cost-free
+    (grid restricted to the crop-surviving window).  For other resolutions
+    size//2 + size//4 + 32 generalizes the full-parity choice.
   * The non-leaking property is unaffected either way (the augmentation stays
     a fixed per-transform linear map of the image).
   * sym6 is an orthogonal wavelet, so the up2(flip k) -> down2(k) pair is
@@ -399,7 +401,7 @@ def apply_color(img, mat):
     return rgb + mat[:, :3, 3][:, :, None, None]
 
 
-def augment(key, img, p, *, margin: int = 64, transform=(None, None)):
+def augment(key, img, p, *, margin: int = 224, transform=(None, None)):
     """Full ADA augment (`non_leaking.py:394-398`): affine then color.
 
     Returns (img, (G, C)).  `p` may be a traced scalar.

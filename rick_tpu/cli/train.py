@@ -80,7 +80,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "_noise/*.pt fixtures instead of failing (deviates "
                         "from the reference Fisher protocol)")
     p.add_argument(
-        "--ada_margin", type=int, default=64,
+        "--ada_margin", type=int, default=224,
         help="static reflect-pad margin for the ADA warp; rotated samples "
         "deviate at the borders unless this covers the rotation worst case "
         "(~0.87*size; see rick_tpu/augment/ada.py honesty note)",

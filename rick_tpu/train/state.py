@@ -43,7 +43,7 @@ class TrainConfig:
     augment_p: float = 0.0
     ada_target: float = 0.6
     ada_length: int = 500 * 1000
-    ada_margin: int = 64
+    ada_margin: int = 224
     warmup_iter: int = 250
     fisher_freq: int = 50
     num_fisher_img: int = 5
