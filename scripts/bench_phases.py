@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--n1", type=int, default=16)
     ap.add_argument("--n2", type=int, default=48)
+    ap.add_argument("--ada_margin", type=int, default=None,
+                    help="override TrainConfig.ada_margin (A/B the warp cost)")
     args = ap.parse_args()
 
     if not os.environ.get("RICK_NO_XLA_CACHE"):
@@ -69,7 +71,8 @@ def main():
     results = {}
 
     for aug in (True, False):
-        tcfg = TrainConfig(batch=BATCH, augment=aug, warmup_iter=2)
+        kw = {} if args.ada_margin is None else {"ada_margin": args.ada_margin}
+        tcfg = TrainConfig(batch=BATCH, augment=aug, warmup_iter=2, **kw)
         state = init_train_state(jax.random.key(0), gcfg, dcfg, tcfg)
         phases = make_train_step(gcfg, dcfg, tcfg)
         rng = jax.random.key(1)
