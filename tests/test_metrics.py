@@ -40,6 +40,32 @@ def test_inception_pool3_shape_and_determinism(inc_params):
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
 
 
+def test_inception_dryrun_levers(inc_params):
+    """The multi-chip dryrun's compile-budget levers must stay semantically
+    pinned: stop_at pools a PREFIX of the full trunk (768-d at Mixed_6a),
+    resize_to only changes the resize target, and inception_init_np produces
+    the same key/shape/bn layout as inception_init."""
+    from rick_tpu.metrics.inception import inception_init_np
+
+    x = jnp.asarray(_imgs(2, size=32))
+    a = inception_pool3(inc_params, x, stop_at="Mixed_6a", resize_to=75)
+    assert a.shape == (2, 768)
+    # full trunk at the same reduced resize still gives 2048-d
+    b = inception_pool3(inc_params, x, resize_to=75)
+    assert b.shape == (2, 2048)
+
+    p_np = inception_init_np(seed=0)
+    p_jax = inception_init(seed=0)
+    assert set(p_np.keys()) == set(p_jax.keys())
+    for k in p_np:
+        assert p_np[k].shape == tuple(p_jax[k].shape), k
+    # bn stats are identity-ish in both inits
+    np.testing.assert_array_equal(
+        p_np["Mixed_6a.branch3x3.bn.running_var"],
+        np.asarray(p_jax["Mixed_6a.branch3x3.bn.running_var"]),
+    )
+
+
 def test_frechet_identity_zero():
     rng = np.random.default_rng(0)
     mu = rng.standard_normal(16)
